@@ -1,0 +1,48 @@
+"""pygpr_tpu — a TPU-native Gaussian-process inference engine.
+
+Brand-new JAX/XLA/Pallas implementation of the capabilities of
+sarath-srinivas/PyGPR (see SURVEY.md): exact GP regression with
+composable ARD kernels, log-marginal-likelihood hyperparameter selection
+with on-device gradients and optimizers, GP sampling utilities, MCMC
+hyperparameter sampling, and the generalized robust Bayesian Committee
+Machine (grBCM) for large-N regression, with experts/chains sharded over
+TPU device meshes.
+
+The public namespace is flat, mirroring the reference's
+``PyGPR/__init__.py``.
+"""
+
+from pygpr_tpu.config import DEFAULT, Config, default_dtype
+from pygpr_tpu.ops.kernels import (
+    RBF,
+    Kernel,
+    Sum,
+    WhiteNoise,
+    kernel_and_grad,
+    kernel_diag,
+    kernel_matrix,
+    sq_distance,
+)
+from pygpr_tpu.ops.linalg import (
+    add_diag,
+    cholesky_solve,
+    inv_from_chol,
+    safe_cholesky,
+    spd_solve,
+)
+from pygpr_tpu.models.exact_gp import (
+    ExactGP,
+    GPState,
+    factorize,
+    fit_predict,
+    predict,
+)
+from pygpr_tpu.models.likelihood import (
+    MLE,
+    Loss,
+    nlml,
+    nlml_and_grad_analytic,
+    nlml_value_and_grad,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,71 @@
+"""Global configuration for the TPU-native GP engine.
+
+The reference (PyGPR) hard-codes its numerical policy as module-level
+globals: float64 everywhere (``PyGPR/gpr.py:10`` et al.), a fixed Cholesky
+jitter of 1e-7 (``PyGPR/gpr.py:68``, ``PyGPR/loss.py:38``), and a
+White-noise init of 1e-4 (``PyGPR/covar.py:224``).  TPUs have no f64
+hardware, so this build replaces the hidden globals with one frozen,
+hashable config object that can be passed through jit boundaries as a
+static argument.
+
+Policy:
+  * On CPU (tests, parity harness) enable x64 and run the reference math
+    bit-for-bit in f64.
+  * On TPU run f32 with ``precision=HIGHEST`` matmuls (6-pass bf16
+    emulation on the MXU, near-f32 accuracy) and an escalating jitter
+    ladder to absorb the conditioning loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Frozen numerical policy. Hashable => usable as a jit static arg."""
+
+    #: Base jitter added to kernel diagonals before Cholesky.
+    #: Parity with the reference's 1e-7 (PyGPR/gpr.py:68).
+    jitter: float = 1e-7
+
+    #: Number of rungs in the escalating jitter ladder: on a failed
+    #: factorization retry with jitter * 10**k, k = 0..rungs-1.
+    #: (The reference has no ladder; failed Cholesky just raises.)
+    jitter_rungs: int = 5
+
+    #: Matmul precision for kernel builds and solves on TPU.
+    #: "highest" => full f32-equivalent accuracy on the MXU.
+    matmul_precision: str = "highest"
+
+    #: White-noise kernel parameter init (PyGPR/covar.py:224).
+    noise_init: float = 1e-4
+
+    @property
+    def precision(self) -> jax.lax.Precision:
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[self.matmul_precision]
+
+    def jitter_ladder(self, dtype) -> Tuple[float, ...]:
+        base = self.jitter
+        if jnp.dtype(dtype) == jnp.float32:
+            # f32 needs a larger floor to survive round-off in the
+            # kernel build; keep the first rung at parity value anyway.
+            pass
+        return tuple(base * (10.0**k) for k in range(self.jitter_rungs))
+
+
+#: Default global config (parity values).
+DEFAULT = Config()
+
+
+def default_dtype() -> jnp.dtype:
+    """f64 when x64 is enabled (CPU parity mode), else f32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

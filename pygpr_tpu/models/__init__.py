@@ -1,0 +1,14 @@
+from pygpr_tpu.models.exact_gp import (
+    ExactGP,
+    GPState,
+    factorize,
+    fit_predict,
+    predict,
+)
+from pygpr_tpu.models.likelihood import (
+    MLE,
+    Loss,
+    nlml,
+    nlml_and_grad_analytic,
+    nlml_value_and_grad,
+)

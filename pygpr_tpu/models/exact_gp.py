@@ -1,0 +1,190 @@
+"""Exact Gaussian-process regression, functional core + thin OO wrapper.
+
+Re-design of the reference model layer (``PyGPR/gpr.py``) for JAX/TPU:
+
+  * The model "state" is an explicit immutable pytree
+    (:class:`GPState`) produced by :func:`factorize` — the functional
+    equivalent of the reference's lazily cached ``krn/krnchd/wt``
+    attributes (``gpr.py:56-62``, ``:65-74``).  Pure state means the
+    whole fit/predict pipeline jits, vmaps over committees, and shards
+    over device meshes with no aliasing hazards.
+  * ``predict`` follows the reference math exactly (``gpr.py:76-120``):
+    mean ``= K* · w`` with ``w = K⁻¹y``; full covariance
+    ``Σ = K** − K* K⁻¹ K*ᵀ`` (``gpr.py:108-120``); diagonal variance
+    via the row-wise contraction (``gpr.py:96-106``).
+  * Batched committees (leading ``nc`` axis, reference ``gpr.py:81-83``)
+    are vmapped, not reshaped — the invariant "batched == stacked
+    unbatched" is tested (reference ``tests/test_gpr.py:60-76``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pygpr_tpu.config import DEFAULT, Config
+from pygpr_tpu.ops import linalg
+from pygpr_tpu.ops.kernels import Kernel
+
+Array = jax.Array
+
+
+class GPState(NamedTuple):
+    """Immutable posterior state of an exact GP.
+
+    Functional replacement for the reference's mutable caches
+    (``gpr.py:56-62``): ``chol`` ≙ ``krnchd``, ``weights`` ≙ ``wt``.
+    """
+
+    x: Array        #: training inputs [n, d] (or [nc, n, d] batched)
+    y: Array        #: training targets [n] (or [nc, n])
+    params: Array   #: kernel hyperparameters [nhp] (or [nc, nhp])
+    chol: Array     #: lower Cholesky of K + jitter·I
+    weights: Array  #: w = K⁻¹ y
+    jitter: Array   #: jitter used by the ladder (scalar per batch elem)
+    ok: Array       #: factorization success flag
+
+
+def _factorize_one(
+    kern: Kernel, params: Array, x: Array, y: Array, config: Config
+) -> GPState:
+    krn = kern.matrix(params, x, config=config)
+    res = linalg.safe_cholesky(krn, config)
+    w = linalg.cholesky_solve(res.chol, y)
+    return GPState(x, y, params, res.chol, w, res.jitter, res.ok)
+
+
+def factorize(
+    kern: Kernel,
+    params: Array,
+    x: Array,
+    y: Array,
+    config: Config = DEFAULT,
+) -> GPState:
+    """Build the posterior state: K → L → w (reference ``update()``,
+    ``gpr.py:65-74``).  Auto-vmaps over a leading committee axis."""
+    if x.ndim == 3:
+        p_ax = 0 if params.ndim == 2 else None
+        return jax.vmap(
+            lambda p, xx, yy: _factorize_one(kern, p, xx, yy, config),
+            in_axes=(p_ax, 0, 0),
+        )(params, x, y)
+    return _factorize_one(kern, params, x, y, config)
+
+
+def _predict_mean_one(
+    kern: Kernel, state: GPState, xp: Array, config: Config
+) -> Tuple[Array, Array]:
+    """Returns (mean [m], cross kernel K* [m, n])."""
+    krns = kern.matrix(state.params, state.x, xp, config=config)
+    mean = jnp.dot(krns, state.weights, precision=config.precision)
+    return mean, krns
+
+
+def _predict_var_one(kern, state, xp, krns, config) -> Array:
+    """Diagonal posterior variance (reference ``predict_var``,
+    ``gpr.py:96-106``): diag(K**) − Σⱼ K*ᵢⱼ (K⁻¹K*ᵀ)ⱼᵢ."""
+    kss_diag = kern.diag(state.params, xp, config=config)
+    lks = linalg.cholesky_solve(state.chol, krns.T)        # [n, m]
+    return kss_diag - jnp.sum(krns * lks.T, axis=-1)
+
+
+def _predict_covar_one(kern, state, xp, krns, config) -> Array:
+    """Full posterior covariance (reference ``predict_covar``,
+    ``gpr.py:108-120``): K** − K* K⁻¹ K*ᵀ."""
+    kss = kern.matrix(state.params, xp, config=config)
+    lks = linalg.cholesky_solve(state.chol, krns.T)        # [n, m]
+    return kss - jnp.dot(krns, lks, precision=config.precision)
+
+
+def _predict_one(kern, state, xp, var, config):
+    mean, krns = _predict_mean_one(kern, state, xp, config)
+    if var == "full":
+        cov = _predict_covar_one(kern, state, xp, krns, config)
+    elif var == "diag":
+        cov = _predict_var_one(kern, state, xp, krns, config)
+    else:
+        cov = None
+    return mean, cov
+
+
+def predict(
+    kern: Kernel,
+    state: GPState,
+    xp: Array,
+    var: str = "full",
+    config: Config = DEFAULT,
+) -> Tuple[Array, Optional[Array]]:
+    """Posterior mean and ("full" | "diag" | "none") uncertainty at xp.
+
+    Batched state (leading ``nc``) with a single ``[m, d]`` xp follows
+    the reference broadcast (``gpr.py:79-85``).
+    """
+    if state.x.ndim == 3:
+        xp_ax = 0 if xp.ndim == 3 else None
+        return jax.vmap(
+            lambda s, q: _predict_one(kern, s, q, var, config),
+            in_axes=(0, xp_ax),
+        )(state, xp)
+    return _predict_one(kern, state, xp, var, config)
+
+
+def fit_predict(
+    kern: Kernel,
+    params: Array,
+    x: Array,
+    y: Array,
+    xp: Array,
+    var: str = "diag",
+    config: Config = DEFAULT,
+):
+    """factorize + predict in one jittable call (the driver-facing op)."""
+    state = factorize(kern, params, x, y, config)
+    return predict(kern, state, xp, var, config)
+
+
+class ExactGP:
+    """Thin stateful wrapper mirroring the reference API
+    (``Exact_GP``, ``gpr.py:46-120``): lazy ``update`` guarded by a
+    dirty flag (``gpr.py:65``), ``predict(xp, var=...)`` returning
+    ``[mean, covariance]``.
+
+    All numerics live in the functional core above; this class only
+    manages the cached :class:`GPState`.
+    """
+
+    def __init__(self, x, y, cov: Kernel, config: Config = DEFAULT):
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(y)
+        self.cov = cov
+        self.config = config
+        self.params = cov.init_params(self.x, config)
+        self.state: Optional[GPState] = None
+        self.need_upd = True
+
+    def set_params(self, params) -> None:
+        """Reference ``set_params`` (``gpr.py:28-31``): replace + dirty."""
+        self.params = jnp.asarray(params)
+        self.need_upd = True
+
+    def set_data(self, x, y) -> None:
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(y)
+        self.need_upd = True
+
+    def update(self) -> None:
+        if self.need_upd:
+            self.state = factorize(
+                self.cov, self.params, self.x, self.y, self.config
+            )
+            self.need_upd = False
+
+    def predict(self, xp, var: str = "full"):
+        self.update()
+        mean, cov = predict(
+            self.cov, self.state, jnp.asarray(xp), var, self.config
+        )
+        return [mean, cov]

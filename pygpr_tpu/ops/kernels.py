@@ -1,0 +1,321 @@
+"""Covariance kernels as pure functions over pytree parameter vectors.
+
+Re-design of the reference kernel layer (``PyGPR/covar.py``) for
+JAX/XLA/TPU:
+
+  * Kernels are **stateless singleton objects** whose methods are pure
+    functions — no in-place mutation (the reference mutates caller
+    tensors, e.g. ``covar.py:119-123``), no hidden dtype globals.
+  * The core methods operate on **unbatched** ``[n, d]`` inputs; the
+    leading "committee" batch axis of the reference (``covar.py:104``,
+    ``:133-135``) is recovered with ``jax.vmap`` — see
+    :func:`kernel_matrix` / :func:`kernel_and_grad`.  vmap is also what
+    makes expert sharding correct: a sharded map over experts equals the
+    batched single-device computation.
+  * The squared-distance matrix uses one MXU matmul (the
+    ``-2·a·bᵀ + ‖a‖² + ‖b‖²`` trick, reference ``covar.py:110``) at
+    configurable precision, clamped at zero for f32 safety.
+
+Parameterization parity with the reference (``covar.py:84-206``):
+
+  * :class:`RBF` (ARD squared-exponential):
+    ``K(x, x') = σ² · exp(−‖(x − x') ⊙ ℓ‖²)``
+    with **inverse-lengthscale** parameterization (the params multiply
+    x, ``covar.py:140``) and **no ½ factor** in the exponent
+    (``covar.py:147-149``).  Params ``[σ, ℓ₁..ℓ_d]``, init all-ones
+    (``covar.py:96-100``).
+  * :class:`WhiteNoise`: ``K = σₙ² I`` on the train block
+    (``covar.py:227-240``); the cross-kernel block is identically zero
+    (``covar.py:242-243``).  One param, init 1e-4 (``covar.py:221-225``).
+  * :class:`Sum`: sum-of-kernels combinator with concatenated parameter
+    vectors (``covar.py:28-81``) — unlike the reference it evaluates each
+    sub-kernel's ``kernel_and_grad`` once, not twice (``covar.py:76-77``).
+
+Analytic hyperparameter gradients (``kernel_and_grad``) follow the
+reference formulas (``covar.py:189``, ``:191-199``, ``:262-264``):
+``∂K/∂σ = 2K/σ``, ``∂K/∂ℓⱼ = −2ℓⱼ (xⱼ−x'ⱼ)² K``, ``∂K/∂σₙ = 2σₙ I``,
+with output layout ``[nhp, n, n]`` (``covar.py:184``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pygpr_tpu.config import DEFAULT, Config
+
+Array = jax.Array
+
+
+def sq_distance(
+    x: Array,
+    xp: Optional[Array] = None,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Array:
+    """Pairwise squared Euclidean distance via the matmul trick.
+
+    ``x: [n, d]``, ``xp: [m, d]`` → ``[m, n]`` (rows index xp, matching
+    the reference's cross-kernel orientation, ``covar.py:119``).
+    With ``xp=None`` returns the symmetric ``[n, n]`` matrix.
+
+    The single ``dot`` is the MXU-hot op; the clamp at zero guards
+    against f32 round-off producing small negative squared distances.
+    """
+    x2 = jnp.sum(jnp.square(x), axis=-1)
+    if xp is None:
+        g = jnp.dot(x, x.T, precision=precision)
+        sqd = x2[:, None] + x2[None, :] - 2.0 * g
+    else:
+        xp2 = jnp.sum(jnp.square(xp), axis=-1)
+        g = jnp.dot(xp, x.T, precision=precision)
+        sqd = xp2[:, None] + x2[None, :] - 2.0 * g
+    return jnp.maximum(sqd, 0.0)
+
+
+class Kernel:
+    """Stateless covariance kernel. Instances are static under jit."""
+
+    def n_params(self, dim: int) -> int:
+        raise NotImplementedError
+
+    def init_params(self, x: Array, config: Config = DEFAULT) -> Array:
+        """All-ones / reference-parity initial hyperparameters.
+
+        Handles a leading batch axis the way the reference's
+        ``get_params_shape`` does (``covar.py:36-42``): ``[nc, n, d]``
+        inputs yield ``[nc, nhp]`` parameters.
+        """
+        nhp = self.n_params(x.shape[-1])
+        batch = x.shape[:-2]
+        return self._init_flat(nhp, x.dtype, config) * jnp.ones(
+            batch + (nhp,), dtype=x.dtype
+        )
+
+    def _init_flat(self, nhp: int, dtype, config: Config) -> Array:
+        return jnp.ones((nhp,), dtype=dtype)
+
+    def matrix(
+        self,
+        params: Array,
+        x: Array,
+        xp: Optional[Array] = None,
+        *,
+        config: Config = DEFAULT,
+    ) -> Array:
+        """Unbatched kernel matrix. ``[n,n]`` or cross ``[m,n]``."""
+        raise NotImplementedError
+
+    def matrix_and_grad(
+        self, params: Array, x: Array, *, config: Config = DEFAULT
+    ) -> Tuple[Array, Array]:
+        """Unbatched ``(K [n,n], dK [nhp,n,n])`` analytic gradients."""
+        raise NotImplementedError
+
+    def diag(self, params: Array, x: Array, *, config: Config = DEFAULT) -> Array:
+        """Diagonal of the train-block kernel, ``[n]``."""
+        return jnp.diagonal(self.matrix(params, x, config=config))
+
+    # -- ergonomics -------------------------------------------------------
+    def __add__(self, other: "Kernel") -> "Sum":
+        a = self.kernels if isinstance(self, Sum) else (self,)
+        b = other.kernels if isinstance(other, Sum) else (other,)
+        return Sum(a + b)
+
+    def __hash__(self):  # static leaves under jit
+        return hash((type(self),))
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+
+class RBF(Kernel):
+    """ARD squared-exponential, reference ``Squared_exponential``.
+
+    ``K = σ² exp(−‖(x−x')⊙ℓ‖²)``; params ``[σ, ℓ₁..ℓ_d]``
+    (``covar.py:84-206``).
+    """
+
+    def n_params(self, dim: int) -> int:
+        return dim + 1
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xl = x * ls
+        xpl = None if xp is None else xp * ls
+        sqd = sq_distance(xl, xpl, precision=config.precision)
+        return jnp.square(sig) * jnp.exp(-sqd)
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        sig = params[0]
+        return jnp.full((x.shape[-2],), jnp.square(sig), dtype=x.dtype)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        krn = self.matrix(params, x, config=config)
+        # ∂K/∂σ = 2 K / σ  (covar.py:189)
+        dsig = krn * (2.0 / sig)
+        # ∂K/∂ℓⱼ = −2 ℓⱼ (xⱼ − x'ⱼ)² K  (covar.py:191-199)
+        diff = x.T[:, :, None] - x.T[:, None, :]            # [d, n, n]
+        dls = (-2.0 * ls[:, None, None]) * jnp.square(diff) * krn[None]
+        dkrn = jnp.concatenate([dsig[None], dls], axis=0)   # [d+1, n, n]
+        return krn, dkrn
+
+
+class WhiteNoise(Kernel):
+    """Observation-noise kernel, reference ``White_noise``.
+
+    ``K = σₙ² I`` on the train block; zero on cross blocks
+    (``covar.py:209-269``).  Init 1e-4 (``covar.py:224``).
+    """
+
+    def n_params(self, dim: int) -> int:
+        return 1
+
+    def _init_flat(self, nhp, dtype, config: Config):
+        return jnp.full((nhp,), config.noise_init, dtype=dtype)
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        n = x.shape[-2]
+        if xp is None:
+            return jnp.square(params[0]) * jnp.eye(n, dtype=x.dtype)
+        return jnp.zeros((xp.shape[-2], n), dtype=x.dtype)
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        n = x.shape[-2]
+        eye = jnp.eye(n, dtype=x.dtype)
+        krn = jnp.square(params[0]) * eye
+        # ∂K/∂σₙ = 2 σₙ I  (covar.py:262-264)
+        dkrn = (2.0 * params[0] * eye)[None]
+        return krn, dkrn
+
+
+class Sum(Kernel):
+    """Sum-of-kernels combinator, reference ``Compose`` (``covar.py:28``).
+
+    Hyperparameter vectors of the sub-kernels are concatenated along the
+    last axis (``covar.py:45-48``) and split by per-kernel chunk sizes
+    (``covar.py:54-55``); gradients concatenate along the ``nhp`` axis
+    (``covar.py:71-81``).
+    """
+
+    def __init__(self, kernels: Sequence[Kernel]):
+        self.kernels: Tuple[Kernel, ...] = tuple(kernels)
+
+    def __hash__(self):
+        return hash((type(self), self.kernels))
+
+    def __eq__(self, other):
+        return (
+            type(other) is Sum and self.kernels == other.kernels
+        )
+
+    def n_params(self, dim: int) -> int:
+        return sum(k.n_params(dim) for k in self.kernels)
+
+    def _splits(self, dim: int):
+        sizes = [k.n_params(dim) for k in self.kernels]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        return sizes, offs
+
+    def _init_flat(self, nhp, dtype, config: Config):
+        raise NotImplementedError  # init_params overridden below
+
+    def init_params(self, x: Array, config: Config = DEFAULT) -> Array:
+        parts = [k.init_params(x, config) for k in self.kernels]
+        return jnp.concatenate(parts, axis=-1)
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        out = None
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            term = k.matrix(params[lo:hi], x, xp, config=config)
+            out = term if out is None else out + term
+        return out
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        out = None
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            term = k.diag(params[lo:hi], x, config=config)
+            out = term if out is None else out + term
+        return out
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        krn = None
+        dkrns = []
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            km, dk = k.matrix_and_grad(params[lo:hi], x, config=config)
+            krn = km if krn is None else krn + km
+            dkrns.append(dk)
+        return krn, jnp.concatenate(dkrns, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Batched public entry points (the reference's leading-nc convention,
+# covar.py:104, :133-135 — realized with vmap instead of view/squeeze).
+# ---------------------------------------------------------------------------
+
+
+def _batched(core, params, x, *rest, n_array_rest=0):
+    """vmap ``core`` over a leading batch axis of x and/or params."""
+    x_b = x.ndim == 3
+    p_b = params.ndim == 2
+    if not x_b and not p_b:
+        return core(params, x, *rest)
+    in_axes = (0 if p_b else None, 0 if x_b else None) + (None,) * n_array_rest
+    return jax.vmap(lambda p, xx, *r: core(p, xx, *r), in_axes=in_axes)(
+        params, x, *rest
+    )
+
+
+def kernel_matrix(
+    kern: Kernel,
+    params: Array,
+    x: Array,
+    xp: Optional[Array] = None,
+    *,
+    config: Config = DEFAULT,
+) -> Array:
+    """Batched kernel matrix.
+
+    ``x: [n,d]`` or ``[nc,n,d]``; ``params: [nhp]`` or ``[nc,nhp]``;
+    ``xp: [m,d]`` (never batched, matching the reference's "only one of
+    x or xp batched" rule, ``covar.py`` distance docstring).
+
+    Returns ``[n,n]`` / ``[m,n]`` or with a leading ``nc``.
+    """
+    if xp is None:
+        core = lambda p, xx: kern.matrix(p, xx, config=config)
+        return _batched(core, params, x)
+    core = lambda p, xx, xpp: kern.matrix(p, xx, xpp, config=config)
+    return _batched(core, params, x, xp, n_array_rest=1)
+
+
+def kernel_diag(
+    kern: Kernel, params: Array, x: Array, *, config: Config = DEFAULT
+) -> Array:
+    core = lambda p, xx: kern.diag(p, xx, config=config)
+    return _batched(core, params, x)
+
+
+def kernel_and_grad(
+    kern: Kernel, params: Array, x: Array, *, config: Config = DEFAULT
+) -> Tuple[Array, Array]:
+    """Batched ``(K, dK)`` with dK layout ``[..., nhp, n, n]``
+    (reference ``covar.py:184``)."""
+    core = lambda p, xx: kern.matrix_and_grad(p, xx, config=config)
+    return _batched(core, params, x)

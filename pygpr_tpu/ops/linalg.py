@@ -1,0 +1,179 @@
+"""Dense linear algebra for GP inference: safe Cholesky + solves.
+
+The reference delegates to LAPACK via torch (``tc.cholesky`` /
+``tc.cholesky_solve``, e.g. ``PyGPR/gpr.py:69-72``, ``loss.py:97-116``)
+with one fixed jitter of 1e-7 and no failure handling — a failed
+factorization raises.  On TPU (f32) near-singular kernel matrices are the
+primary runtime failure mode, so this build wraps XLA's Cholesky in an
+**escalating jitter ladder** (SURVEY.md §5.3): retry with jitter·10^k
+until the factor is finite.  Everything is jit-able and vmap-able (the
+ladder loop is a ``lax.while_loop``; under vmap it batches cleanly).
+
+XLA's ``lax.linalg.cholesky`` returns NaNs (not an exception) on an
+indefinite input, which is exactly the signal the ladder needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pygpr_tpu.config import DEFAULT, Config
+
+Array = jax.Array
+
+
+class CholResult(NamedTuple):
+    """Result of a jitter-laddered Cholesky factorization."""
+
+    chol: Array      #: lower-triangular factor L, K + jitter·I = L Lᵀ
+    jitter: Array    #: jitter actually used (scalar, same dtype as K)
+    ok: Array        #: scalar 1.0/0.0 — whether any rung succeeded
+
+
+def add_diag(K: Array, eps) -> Array:
+    """K + eps·I without materializing an identity matrix."""
+    n = K.shape[-1]
+    idx = jnp.arange(n)
+    return K.at[..., idx, idx].add(eps)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _chol_ladder(K: Array, config: Config):
+    """Jitter-laddered Cholesky with a custom differentiation rule.
+
+    The primal escalates jitter·10^k until the factor is finite (a
+    ``lax.while_loop`` — not reverse-differentiable on its own).  The
+    custom JVP applies the standard Cholesky tangent formula
+    (Murray 2016, "Differentiation of the Cholesky decomposition")
+    **reusing the already-computed factor L**, so robustness costs the
+    gradient path nothing.  The chosen jitter rung is treated as
+    locally constant — exact away from rung-switching points.
+    """
+    dtype = K.dtype
+    base = jnp.asarray(config.jitter, dtype)
+    rungs = config.jitter_rungs
+
+    def attempt(k):
+        jit_k = base * (10.0**k).astype(dtype)
+        L = lax.linalg.cholesky(add_diag(K, jit_k))
+        ok = jnp.all(jnp.isfinite(L))
+        return L, jit_k, ok
+
+    L0, j0, ok0 = attempt(jnp.asarray(0, dtype))
+
+    def cond(state):
+        k, _, _, ok = state
+        return jnp.logical_and(~ok, k < rungs - 1)
+
+    def body(state):
+        k, L, j, ok = state
+        # Under vmap the body runs while ANY element is unconverged;
+        # keep converged elements untouched instead of re-escalating.
+        L2, j2, ok2 = attempt((k + 1).astype(dtype))
+        return (
+            jnp.where(ok, k, k + 1),
+            jnp.where(ok, L, L2),
+            jnp.where(ok, j, j2),
+            jnp.logical_or(ok, ok2),
+        )
+
+    _, L, j, ok = lax.while_loop(
+        cond, body, (jnp.asarray(0, dtype), L0, j0, ok0)
+    )
+    return L, j, ok.astype(dtype)
+
+
+@_chol_ladder.defjvp
+def _chol_ladder_jvp(config, primals, tangents):
+    (K,) = primals
+    (dK,) = tangents
+    L, j, ok = _chol_ladder(K, config)
+    # dL = L φ(L⁻¹ dK L⁻ᵀ), φ = tril with halved diagonal.
+    A = lax.linalg.triangular_solve(
+        L, dK, left_side=True, lower=True, transpose_a=False
+    )
+    W = lax.linalg.triangular_solve(
+        L, A.mT, left_side=True, lower=True, transpose_a=False
+    ).mT
+    Phi = jnp.tril(W) - 0.5 * jnp.diagonal(W, axis1=-2, axis2=-1)[
+        ..., None
+    ] * jnp.eye(W.shape[-1], dtype=W.dtype)
+    dL = jnp.matmul(L, Phi, precision=lax.Precision.HIGHEST)
+    zero = jnp.zeros_like(j)
+    return (L, j, ok), (dL, zero, jnp.zeros_like(ok))
+
+
+def safe_cholesky(K: Array, config: Config = DEFAULT) -> CholResult:
+    """Cholesky of ``K + jitter·I`` with an escalating jitter ladder.
+
+    Starts at ``config.jitter`` (reference parity: 1e-7 at
+    ``PyGPR/gpr.py:68``) and multiplies by 10 on failure, up to
+    ``config.jitter_rungs`` rungs.  Cost in the common case is a single
+    factorization plus a finite-ness check.  Differentiable (reverse and
+    forward) through the factor via the custom rule above — this is what
+    keeps the NLML gradient finite on f32/TPU where the base jitter is
+    often too small (SURVEY.md §7 "f64→f32").
+    """
+    return CholResult(*_chol_ladder(K, config))
+
+
+def cholesky_solve(L: Array, b: Array) -> Array:
+    """Solve ``K x = b`` given ``K = L Lᵀ`` (reference
+    ``tc.cholesky_solve``, ``PyGPR/gpr.py:70``).
+
+    ``b`` may be a vector ``[n]`` or matrix ``[n, m]``.
+    """
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    z = lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=False
+    )
+    x = lax.linalg.triangular_solve(
+        L, z, left_side=True, lower=True, transpose_a=True
+    )
+    return x[..., 0] if vec else x
+
+
+def solve_lower(L: Array, b: Array) -> Array:
+    """Solve ``L z = b`` (forward substitution)."""
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    z = lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=False
+    )
+    return z[..., 0] if vec else z
+
+
+def logdet_from_chol(L: Array) -> Array:
+    """log|K| = 2 Σ log diag(L)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def half_logdet_from_chol(L: Array) -> Array:
+    """Σ log diag(L) — the term the reference uses directly
+    (``PyGPR/loss.py:49-51``)."""
+    return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def inv_from_chol(L: Array) -> Array:
+    """K⁻¹ from its Cholesky factor (reference ``tc.cholesky_inverse``,
+    ``PyGPR/gr_bcm.py:112``)."""
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    eye = jnp.broadcast_to(eye, L.shape[:-2] + (n, n))
+    return cholesky_solve(L, eye)
+
+
+def spd_solve(
+    K: Array, b: Array, config: Config = DEFAULT
+) -> Array:
+    """One-shot SPD solve with the jitter ladder."""
+    res = safe_cholesky(K, config)
+    return cholesky_solve(res.chol, b)

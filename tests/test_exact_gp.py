@@ -1,0 +1,112 @@
+"""Exact-GP model tests, mirroring ``PyGPR/tests/test_gpr.py``
+(interpolation oracle, posterior-covariance properties, batch-vs-loop)."""
+
+from itertools import product
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygpr_tpu import ExactGP, RBF, Sum, WhiteNoise, factorize, predict
+
+DIMS = (2, 3, 7)
+NS = (10, 50, 100)
+
+
+def _data(rng, n, dim):
+    x = jnp.asarray(rng.uniform(size=(n, dim)))
+    y = jnp.sin(-x.sum(-1))
+    return x, y
+
+
+@pytest.mark.parametrize("n,dim", list(product(NS, DIMS)))
+def test_interpolate(n, dim, rng):
+    """Noiseless GP reproduces its training targets
+    (``tests/test_gpr.py:18-32``, atol 1e-4)."""
+    x, y = _data(rng, n, dim)
+    gp = ExactGP(x, y, Sum((RBF(), WhiteNoise())))
+    ys, var = gp.predict(x, var="diag")
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(y), atol=1e-4)
+    assert var.shape == ys.shape
+    assert np.all(np.asarray(var) < 1e6)
+
+
+@pytest.mark.parametrize("n,dim", list(product(NS, DIMS)))
+def test_pred_covar_symmetric_psd(n, dim, rng):
+    """Posterior covariance is symmetric PSD (``tests/test_gpr.py:36-52``)."""
+    x, y = _data(rng, n, dim)
+    gp = ExactGP(x, y, Sum((RBF(), WhiteNoise())))
+    ys, cov = gp.predict(x, var="full")
+    cov = np.asarray(cov)
+    tol = 1e-7
+    np.testing.assert_allclose(cov, cov.T, atol=tol)
+    eig = np.linalg.eigvalsh(cov)
+    assert np.all(eig > -tol)
+
+
+@pytest.mark.parametrize("nc,n,dim", list(product((2, 5), (10, 50), (2, 3))))
+def test_interpolate_batch(nc, n, dim, rng):
+    """Batched committees equal replicated single fits
+    (``tests/test_gpr.py:60-76``)."""
+    xl, yl = _data(rng, n, dim)
+    x = jnp.broadcast_to(xl, (nc, n, dim))
+    y = jnp.broadcast_to(yl, (nc, n))
+    gp = ExactGP(x, y, Sum((RBF(), WhiteNoise())))
+    ys, var = gp.predict(xl, var="diag")
+    assert ys.shape == (nc, n)
+    np.testing.assert_allclose(
+        np.asarray(ys), np.broadcast_to(np.asarray(yl), (nc, n)), atol=1e-4
+    )
+    assert np.all(np.asarray(var) < 1e6)
+
+
+def test_batched_equals_stacked_states(rng):
+    """Sharding invariant: vmapped factorize/predict == per-expert calls."""
+    nc, n, m, dim = 3, 40, 11, 2
+    cov = Sum((RBF(), WhiteNoise()))
+    xb = jnp.asarray(rng.uniform(size=(nc, n, dim)))
+    yb = jnp.sin(xb.sum(-1))
+    hp = jnp.asarray(1.0 + rng.uniform(size=(nc, cov.n_params(dim))))
+    xp = jnp.asarray(rng.uniform(size=(m, dim)))
+
+    state_b = factorize(cov, hp, xb, yb)
+    mean_b, var_b = predict(cov, state_b, xp, var="diag")
+    for i in range(nc):
+        s = factorize(cov, hp[i], xb[i], yb[i])
+        mi, vi = predict(cov, s, xp, var="diag")
+        np.testing.assert_allclose(np.asarray(mean_b[i]), np.asarray(mi), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var_b[i]), np.asarray(vi), atol=1e-10)
+
+
+def test_full_covar_consistent_with_diag(rng):
+    x, y = _data(rng, 30, 3)
+    cov = Sum((RBF(), WhiteNoise()))
+    gp = ExactGP(x, y, cov)
+    xp = jnp.asarray(rng.uniform(size=(9, 3)))
+    _, full = gp.predict(xp, var="full")
+    _, diag = gp.predict(xp, var="diag")
+    np.testing.assert_allclose(
+        np.diag(np.asarray(full)), np.asarray(diag), atol=1e-9
+    )
+
+
+def test_var_none(rng):
+    x, y = _data(rng, 20, 2)
+    gp = ExactGP(x, y, Sum((RBF(), WhiteNoise())))
+    ys, cov = gp.predict(x, var="none")
+    assert cov is None
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(y), atol=1e-4)
+
+
+def test_jitter_ladder_rescues_singular_kernel(rng):
+    """Duplicate training points make K exactly singular; the ladder
+    (SURVEY.md §5.3) must still produce a finite factorization."""
+    x1 = jnp.asarray(rng.uniform(size=(10, 2)))
+    x = jnp.concatenate([x1, x1], axis=0)  # rank-deficient RBF gram
+    y = jnp.sin(x.sum(-1))
+    cov = RBF()  # no noise term => genuinely near-singular
+    state = factorize(cov, cov.init_params(x), x, y)
+    assert bool(state.ok)
+    assert np.all(np.isfinite(np.asarray(state.chol)))
+    mean, var = predict(cov, state, x1, var="diag")
+    assert np.all(np.isfinite(np.asarray(mean)))
