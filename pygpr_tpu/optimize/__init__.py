@@ -1,0 +1,10 @@
+from pygpr_tpu.optimize.classic import (
+    CG,
+    BFGSQuad,
+    CGQuad,
+    NelderMead,
+    Opt,
+    hessian,
+)
+from pygpr_tpu.optimize.lbfgs import FitResult, fit_mle, minimize_lbfgs
+from pygpr_tpu.optimize.step_size import get_learn_rate, learn_rate
