@@ -44,5 +44,20 @@ from pygpr_tpu.models.likelihood import (
     nlml_and_grad_analytic,
     nlml_value_and_grad,
 )
+from pygpr_tpu.models.grbcm import GRBCM
+from pygpr_tpu.models import grbcm
+from pygpr_tpu.optimize import (
+    CG,
+    BFGSQuad,
+    CGQuad,
+    FitResult,
+    NelderMead,
+    Opt,
+    fit_mle,
+    get_learn_rate,
+    hessian,
+    learn_rate,
+    minimize_lbfgs,
+)
 
 __version__ = "0.1.0"

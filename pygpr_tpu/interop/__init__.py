@@ -1,0 +1,1 @@
+from pygpr_tpu.interop.sklearn import SK_WRAP, SKWrap

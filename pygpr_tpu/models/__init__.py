@@ -12,3 +12,4 @@ from pygpr_tpu.models.likelihood import (
     nlml_and_grad_analytic,
     nlml_value_and_grad,
 )
+from pygpr_tpu.models.grbcm import GRBCM

@@ -86,10 +86,16 @@ def _predict_mean_one(
 
 def _predict_var_one(kern, state, xp, krns, config) -> Array:
     """Diagonal posterior variance (reference ``predict_var``,
-    ``gpr.py:96-106``): diag(K**) − Σⱼ K*ᵢⱼ (K⁻¹K*ᵀ)ⱼᵢ."""
+    ``gpr.py:96-106``): diag(K**) − Σⱼ K*ᵢⱼ (K⁻¹K*ᵀ)ⱼᵢ.
+
+    Clamped at the jitter floor: in f32 the subtraction can round to a
+    small negative at well-observed points, which would poison the
+    grBCM aggregation's ``1/var`` and ``log`` (``gr_bcm.py:128-131``).
+    """
     kss_diag = kern.diag(state.params, xp, config=config)
     lks = linalg.cholesky_solve(state.chol, krns.T)        # [n, m]
-    return kss_diag - jnp.sum(krns * lks.T, axis=-1)
+    var = kss_diag - jnp.sum(krns * lks.T, axis=-1)
+    return jnp.maximum(var, jnp.asarray(config.jitter, var.dtype))
 
 
 def _predict_covar_one(kern, state, xp, krns, config) -> Array:

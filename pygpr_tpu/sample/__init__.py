@@ -1,0 +1,15 @@
+from pygpr_tpu.sample.designs import (
+    Matern1,
+    Uniform,
+    assign_clusters,
+    cluster_samples,
+    euclidean_dist,
+    sample_gp,
+)
+from pygpr_tpu.sample.mcmc import (
+    MCMCResult,
+    log_posterior_fn,
+    posterior_moments,
+    sample_posterior,
+    split_rhat,
+)

@@ -1,0 +1,195 @@
+"""MCMC hyperparameter sampling (adaptive random-walk Metropolis).
+
+The reference has **no** Markov chain over hyperparameters — its
+``sampler.py`` does input designs and GP prior draws only (SURVEY.md
+§2.6) — but the BASELINE north star asks for an MCMC hyperparameter
+sampler with posterior-moment parity and cross-host step-size
+adaptation.  This module provides it TPU-first:
+
+  * The target is the hyperparameter posterior
+    ``log p(u | x, y) ∝ −nlml(exp u) + log N(u; 0, prior_std²)``
+    over **log-hyperparameters** u (positivity + scale-free steps).
+  * One chain = one ``lax.scan`` — the whole sampler jits; chains are
+    vmapped (and shard over a mesh axis in ``pygpr_tpu.parallel``).
+  * Step size adapts during warmup by Robbins-Monro toward a target
+    acceptance rate; the adaptation statistic goes through a pluggable
+    ``sync_fn`` so the distributed layer can ``pmean`` it across
+    chains/hosts (the "step-size adaptation coordinated across hosts"
+    of the north star; the single-process primitive is the parabolic
+    rule in ``optimize.step_size``, reference ``hp_update.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pygpr_tpu.config import DEFAULT, Config
+from pygpr_tpu.models.likelihood import nlml
+from pygpr_tpu.ops.kernels import Kernel
+
+Array = jax.Array
+
+
+class MCMCResult(NamedTuple):
+    samples: Array       #: [..., n_samples, nhp] hyperparameter draws (θ, not log θ)
+    log_prob: Array      #: [..., n_samples] unnormalized log-posterior
+    accept_rate: Array   #: [...] post-warmup acceptance fraction
+    step_size: Array     #: [...] adapted RWM step size
+
+
+def log_posterior_fn(
+    kern: Kernel,
+    x: Array,
+    y: Array,
+    prior_std: float = 3.0,
+    config: Config = DEFAULT,
+) -> Callable[[Array], Array]:
+    """Log-posterior over u = log θ (flat-ish Gaussian prior on u)."""
+
+    def lp(u: Array) -> Array:
+        val = -nlml(kern, jnp.exp(u), x, y, config)
+        prior = -0.5 * jnp.sum(jnp.square(u / prior_std))
+        return val + prior
+
+    return lp
+
+
+def _rwm_chain(
+    lp: Callable[[Array], Array],
+    u0: Array,
+    key: Array,
+    n_samples: int,
+    n_warmup: int,
+    target_accept: float,
+    init_step: float,
+    sync_fn: Callable[[Array], Array],
+):
+    """Adaptive random-walk Metropolis, fully inside lax.scan."""
+    dtype = u0.dtype
+    nhp = u0.shape[-1]
+
+    def mh_step(u, lp_u, log_step, key):
+        k1, k2 = jax.random.split(key)
+        prop = u + jnp.exp(log_step) * jax.random.normal(k1, (nhp,), dtype)
+        lp_p = lp(prop)
+        log_a = lp_p - lp_u
+        accept = jnp.log(jax.random.uniform(k2, (), dtype)) < log_a
+        u = jnp.where(accept, prop, u)
+        lp_u = jnp.where(accept, lp_p, lp_u)
+        a_prob = jnp.minimum(1.0, jnp.exp(log_a))
+        return u, lp_u, accept, a_prob
+
+    def warmup_body(carry, it):
+        u, lp_u, log_step, key = carry
+        key, sub = jax.random.split(key)
+        u, lp_u, _, a_prob = mh_step(u, lp_u, log_step, sub)
+        # Robbins-Monro toward target acceptance; sync_fn lets the
+        # distributed layer average the statistic across chains/hosts.
+        stat = sync_fn(a_prob - target_accept)
+        log_step = log_step + stat / jnp.sqrt(1.0 + it)
+        return (u, lp_u, log_step, key), None
+
+    def sample_body(carry, _):
+        u, lp_u, log_step, key = carry
+        key, sub = jax.random.split(key)
+        u, lp_u, accept, _ = mh_step(u, lp_u, log_step, sub)
+        return (u, lp_u, log_step, key), (u, lp_u, accept)
+
+    log_step0 = jnp.asarray(jnp.log(init_step), dtype)
+    lp0 = lp(u0)
+    carry = (u0, lp0, log_step0, key)
+    carry, _ = jax.lax.scan(
+        warmup_body, carry, jnp.arange(n_warmup, dtype=dtype)
+    )
+    carry, (us, lps, accepts) = jax.lax.scan(
+        sample_body, carry, None, length=n_samples
+    )
+    _, _, log_step, _ = carry
+    return (
+        jnp.exp(us),
+        lps,
+        jnp.mean(accepts.astype(dtype)),
+        jnp.exp(log_step),
+    )
+
+
+def sample_posterior(
+    kern: Kernel,
+    x: Array,
+    y: Array,
+    key: Array,
+    params0: Optional[Array] = None,
+    *,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    n_chains: int = 4,
+    target_accept: float = 0.3,
+    init_step: float = 0.1,
+    prior_std: float = 3.0,
+    jitter_init: float = 0.5,
+    config: Config = DEFAULT,
+    sync_fn: Callable[[Array], Array] = lambda s: s,
+) -> MCMCResult:
+    """Sample the hyperparameter posterior with ``n_chains`` vmapped
+    adaptive-RWM chains.  Returns θ-space draws ``[n_chains, n_samples,
+    nhp]``; chains start from jittered ``log params0``."""
+    if params0 is None:
+        # Neutral start u=0 (θ=1): the kernel-layer init (noise 1e-4,
+        # covar.py:224) sits deep in the interpolation mode and can trap
+        # whole chains there.
+        params0 = jnp.ones(
+            (kern.n_params(x.shape[-1]),), dtype=x.dtype
+        )
+    u0 = jnp.log(jnp.abs(params0))
+    lp = log_posterior_fn(kern, x, y, prior_std, config)
+
+    keys = jax.random.split(key, n_chains + 1)
+    init_keys, chain_keys = keys[:n_chains], keys[n_chains:]
+    u0s = u0[None] + jitter_init * jax.vmap(
+        lambda k: jax.random.normal(k, u0.shape, u0.dtype)
+    )(init_keys)
+    chain_keys = jax.random.split(keys[-1], n_chains)
+
+    run = partial(
+        _rwm_chain,
+        lp,
+        n_samples=n_samples,
+        n_warmup=n_warmup,
+        target_accept=target_accept,
+        init_step=init_step,
+        sync_fn=sync_fn,
+    )
+    samples, lps, acc, step = jax.vmap(lambda u, k: run(u, k))(
+        u0s, chain_keys
+    )
+    return MCMCResult(samples, lps, acc, step)
+
+
+def posterior_moments(samples: Array) -> Tuple[Array, Array]:
+    """Pooled posterior mean/std over chains × draws → ``[nhp]`` each."""
+    flat = samples.reshape(-1, samples.shape[-1])
+    return jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
+
+
+def split_rhat(samples: Array) -> Array:
+    """Split-R̂ convergence diagnostic per hyperparameter → ``[nhp]``.
+
+    Standard Gelman-Rubin on 2×n_chains half-chains; values ≲ 1.01
+    indicate mixing.  (The reference has no diagnostics at all.)
+    """
+    nc, ns, nhp = samples.shape
+    half = ns // 2
+    chains = jnp.concatenate(
+        [samples[:, :half], samples[:, half : 2 * half]], axis=0
+    )  # [2nc, half, nhp]
+    m = chains.shape[0]
+    mean_c = jnp.mean(chains, axis=1)            # [m, nhp]
+    var_c = jnp.var(chains, axis=1, ddof=1)      # [m, nhp]
+    W = jnp.mean(var_c, axis=0)
+    B = half * jnp.var(mean_c, axis=0, ddof=1)
+    var_post = (half - 1) / half * W + B / half
+    return jnp.sqrt(var_post / W)

@@ -1,0 +1,138 @@
+"""Distributed-layer tests on an 8-virtual-device CPU mesh
+(SURVEY.md §4: sharded == batched-single-device, generalized from the
+reference's batch-vs-loop invariant ``tests/test_gpr.py:60-76``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pygpr_tpu as gp
+from pygpr_tpu.models import grbcm
+from pygpr_tpu.parallel import (
+    grbcm_fit_sharded,
+    grbcm_predict_sharded,
+    make_mesh,
+    mcmc_sharded,
+)
+
+
+def _committee(rng, nc=8, n=20, dim=2, ng=12):
+    xl = jnp.asarray(rng.uniform(size=(nc, n, dim)))
+    xg = jnp.asarray(rng.uniform(size=(ng, dim)))
+    yl = jnp.sin(xl.sum(-1))
+    yg = jnp.sin(xg.sum(-1))
+    return xl, yl, xg, yg
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["expert"] == 8
+    assert mesh.shape["chain"] == 1
+    mesh2 = make_mesh(n_expert=4, n_chain=2)
+    assert mesh2.shape == {"expert": 4, "chain": 2}
+
+
+def test_sharded_predict_equals_batched(rng):
+    """THE correctness invariant: psum-aggregated sharded grBCM ==
+    single-device batched grBCM."""
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    xl, yl, xg, yg = _committee(rng)
+    model = grbcm.GRBCM(xl, yl, xg, yg, cov)
+    xs = jnp.asarray(rng.uniform(size=(15, 2)))
+    mean_ref, var_ref = model.predict(xs, var="diag")
+
+    mesh = make_mesh(n_expert=8)
+    x_aug, y_aug = grbcm.augment(xl, yl, xg, yg)
+    mean_sh, var_sh = grbcm_predict_sharded(
+        cov,
+        model.gpg.params,
+        model.gpl.params,
+        xg, yg, x_aug, y_aug, xs, mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean_sh), np.asarray(mean_ref), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_sh), np.asarray(var_ref), rtol=1e-10
+    )
+
+
+def test_sharded_predict_with_mask(rng):
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    xl, yl, xg, yg = _committee(rng)
+    mask = jnp.asarray([True, True, False, True, True, False, True, True])
+    model = grbcm.GRBCM(xl, yl, xg, yg, cov)
+    model.mask = mask
+    xs = jnp.asarray(rng.uniform(size=(9, 2)))
+    mean_ref, var_ref = model.predict(xs, var="diag")
+
+    mesh = make_mesh(n_expert=8)
+    x_aug, y_aug = grbcm.augment(xl, yl, xg, yg)
+    mean_sh, var_sh = grbcm_predict_sharded(
+        cov, model.gpg.params, model.gpl.params,
+        xg, yg, x_aug, y_aug, xs, mesh, mask=mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean_sh), np.asarray(mean_ref), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_sh), np.asarray(var_ref), rtol=1e-10
+    )
+
+
+def test_sharded_fit_equals_batched(rng):
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    xl, yl, xg, yg = _committee(rng, nc=8, n=16)
+    yl = yl + 0.05 * jnp.asarray(rng.normal(size=yl.shape))
+    x_aug, y_aug = grbcm.augment(xl, yl, xg, yg)
+    p0 = cov.init_params(xg)
+
+    from pygpr_tpu.optimize import fit_mle
+
+    res_ref = fit_mle(cov, jnp.broadcast_to(p0, (8,) + p0.shape),
+                      x_aug, y_aug, max_iter=40)
+
+    mesh = make_mesh(n_expert=8)
+    params_g, params_l, nlml_g, nlml_l = grbcm_fit_sharded(
+        cov, p0, xg, yg, x_aug, y_aug, mesh, max_iter=40
+    )
+    assert params_l.shape == (8, 4)
+    # Trajectories are FP-sensitive (40 line-searched iterations under
+    # different XLA fusions); both reach the same optimum.
+    np.testing.assert_allclose(
+        np.asarray(nlml_l), np.asarray(res_ref.value), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(params_l), np.asarray(res_ref.params), rtol=2e-2, atol=5e-3
+    )
+
+
+def test_mcmc_sharded_chains(rng):
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    n = 20
+    x = jnp.asarray(rng.uniform(size=(n, 1)))
+    y = jnp.sin(2 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n))
+    mesh = make_mesh(n_expert=1, n_chain=8)
+    res = mcmc_sharded(
+        cov, x, y, jax.random.PRNGKey(0), mesh,
+        n_chains=8, n_samples=30, n_warmup=30,
+    )
+    assert res.samples.shape == (8, 30, 3)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    # coordinated adaptation => all chains share one step size
+    steps = np.asarray(res.step_size)
+    np.testing.assert_allclose(steps, steps[0], rtol=1e-9)
+
+
+def test_mcmc_uncoordinated_differs(rng):
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    x = jnp.asarray(rng.uniform(size=(15, 1)))
+    y = jnp.sin(2 * x[:, 0])
+    mesh = make_mesh(n_expert=1, n_chain=8)
+    res = mcmc_sharded(
+        cov, x, y, jax.random.PRNGKey(0), mesh,
+        n_chains=8, n_samples=20, n_warmup=30, coordinate_step_size=False,
+    )
+    steps = np.asarray(res.step_size)
+    assert np.unique(steps).size > 1  # independent adaptation
