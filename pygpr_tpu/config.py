@@ -45,6 +45,13 @@ class Config:
     #: White-noise kernel parameter init (PyGPR/covar.py:224).
     noise_init: float = 1e-4
 
+    #: Use the fused Pallas gram kernel (ops/pallas_kernels.py) for the
+    #: canonical RBF+WhiteNoise kernel on TPU.  Exact to the XLA path
+    #: and faster steady-state (single HBM pass), but Mosaic compilation
+    #: over a remote-TPU tunnel costs minutes per process, so default
+    #: off; flip on for long-running production fits on real TPU hosts.
+    use_pallas: bool = False
+
     @property
     def precision(self) -> jax.lax.Precision:
         return {

@@ -51,7 +51,9 @@ class GPState(NamedTuple):
 def _factorize_one(
     kern: Kernel, params: Array, x: Array, y: Array, config: Config
 ) -> GPState:
-    krn = kern.matrix(params, x, config=config)
+    from pygpr_tpu.ops.kernels import train_gram
+
+    krn = train_gram(kern, params, x, config)
     res = linalg.safe_cholesky(krn, config)
     w = linalg.cholesky_solve(res.chol, y)
     return GPState(x, y, params, res.chol, w, res.jitter, res.ok)

@@ -42,7 +42,9 @@ Array = jax.Array
 
 
 def _nlml_one(kern: Kernel, params, x, y, config: Config) -> Array:
-    krn = kern.matrix(params, x, config=config)
+    from pygpr_tpu.ops.kernels import train_gram
+
+    krn = train_gram(kern, params, x, config)
     # Laddered Cholesky: differentiable via the custom rule in
     # ops.linalg, and finite on f32/TPU where fixed 1e-7 jitter fails.
     L = linalg.safe_cholesky(krn, config).chol

@@ -319,3 +319,17 @@ def kernel_and_grad(
     (reference ``covar.py:184``)."""
     core = lambda p, xx: kern.matrix_and_grad(p, xx, config=config)
     return _batched(core, params, x)
+
+
+def train_gram(
+    kern: Kernel, params: Array, x: Array, config: Config = DEFAULT
+) -> Array:
+    """Unbatched train-block gram K(x, x), dispatching to the fused
+    Pallas kernel when enabled and applicable (TPU, f32, canonical
+    RBF+WhiteNoise).  Differentiable on both paths."""
+    if config.use_pallas and x.dtype == jnp.float32:
+        from pygpr_tpu.ops import pallas_kernels as pk
+
+        if pk.matches_rbf_noise(kern) and pk.on_tpu():
+            return pk.rbf_noise_gram(params, x)
+    return kern.matrix(params, x, config=config)

@@ -1,0 +1,208 @@
+"""Pallas TPU kernels: fused blocked kernel-matrix construction.
+
+The reference builds its RBF gram in stages — scale, matmul-trick
+distance, negate, exp, scale (``PyGPR/covar.py:129-167``) — each stage a
+separate full-matrix pass through memory.  XLA fuses some of that, but
+the measured build still costs ~0.9 ms at n=2048 on a v5e chip (vs
+~0.05 ms of HBM traffic for one 16 MB write).  This kernel fuses the
+whole pipeline into one pass per 256×256 tile:
+
+    HBM:  xl (n·d floats)  →  VMEM tiles  →  MXU dot  →  VPU exp  →
+    K tile (+ σₙ² on the diagonal)  →  HBM, written exactly once.
+
+The backward pass doesn't need a hand-written kernel: given the
+cotangent K̄ and the saved K, every parameter/input gradient is a
+reduction or a single matmul over W = K̄ ⊙ K, which XLA fuses well:
+
+    σ̄    = (2/σ) Σ W
+    σ̄ₙ   = 2 σₙ Σ diag(K̄)
+    x̄l   = −2 [diag(rowsum(W + Wᵀ)) xl − (W + Wᵀ) xl]
+    (ℓ̄ⱼ  = Σᵢ x̄lᵢⱼ xᵢⱼ via the chain rule, xl = x ⊙ ℓ)
+
+so the custom VJP below runs Pallas forward, JAX backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+TILE = 256
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _gram_kernel(xr_ref, xc_ref, r2_ref, c2_ref, sig2_ref, diag_ref, out_ref):
+    """One (TILE, TILE) tile of K = σ² exp(−‖xrᵢ − xcⱼ‖²) (+ diag).
+
+    Matmul-trick distance with the cross term on the MXU at HIGHEST
+    precision (f32-equivalent multi-pass — a plain f32 dot runs at
+    bf16-pass precision and costs ~0.1 absolute error on O(10) squared
+    distances).  The squared norms are precomputed outside in exact f32
+    and streamed in as row/column vectors.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    a = xr_ref[:]                                   # [TILE, d]
+    b = xc_ref[:]                                   # [TILE, d]
+    g = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    sqd = jnp.maximum(r2_ref[:] + c2_ref[:] - 2.0 * g, 0.0)
+    tile = sig2_ref[0, 0] * jnp.exp(-sqd)
+
+    @pl.when(i == j)
+    def _():
+        # Add σₙ² (+ any extra diagonal) on the global diagonal.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        out_ref[:] = tile + jnp.where(
+            rows == cols, diag_ref[0, 0], 0.0
+        )
+
+    @pl.when(i != j)
+    def _():
+        out_ref[:] = tile
+
+
+def _gram_pallas(xl: Array, sig2: Array, diag: Array) -> Array:
+    """Raw fused gram: xl [n, d] (already ℓ-scaled), scalars σ², diag."""
+    n, d = xl.shape
+    n_pad = _cdiv(n, TILE) * TILE
+    if n_pad != n:
+        # Padding rows sit far only in index space; their K values are
+        # garbage but sliced off below.
+        xl = jnp.pad(xl, ((0, n_pad - n), (0, 0)))
+    x2 = jnp.sum(xl * xl, axis=1)                   # exact f32 norms
+    r2 = x2[:, None]                                # [n_pad, 1]
+    c2 = x2[None, :]                                # [1, n_pad]
+    grid = (n_pad // TILE, n_pad // TILE)
+    out = pl.pallas_call(
+        _gram_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE, d), lambda i, j: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (TILE, d), lambda i, j: (j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (TILE, 1), lambda i, j: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, TILE), lambda i, j: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1), lambda i, j: (0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1), lambda i, j: (0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE, TILE), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * n_pad * d,
+            bytes_accessed=n_pad * n_pad * 4 + 2 * n_pad * d * 4,
+            transcendentals=n_pad * n_pad,
+        ),
+    )(xl, xl, r2, c2, sig2.reshape(1, 1), diag.reshape(1, 1))
+    return out[:n, :n]
+
+
+@jax.custom_vjp
+def rbf_noise_gram(params: Array, x: Array) -> Array:
+    """Fused K = σ² exp(−‖(x−x')⊙ℓ‖²) + σₙ² I on TPU via Pallas.
+
+    ``params = [σ, ℓ₁..ℓ_d, σₙ]`` — the concatenated parameter vector of
+    the reference's canonical ``Compose([Squared_exponential(),
+    White_noise()])`` (``covar.py:28-81``).  f32 only (TPU path).
+    """
+    sig = params[0]
+    ls = params[1:-1]
+    sig_n = params[-1]
+    xl = x * ls
+    return _gram_pallas(
+        xl, jnp.square(sig), jnp.square(sig_n)
+    )
+
+
+def _fwd(params, x):
+    K = rbf_noise_gram(params, x)
+    return K, (params, x, K)
+
+
+def _bwd(res, Kbar):
+    params, x, K = res
+    sig = params[0]
+    ls = params[1:-1]
+    sig_n = params[-1]
+    diag_Kbar = jnp.sum(jnp.diagonal(Kbar))
+
+    # W = K̄ ⊙ R with R the pure-RBF part (K minus the noise diagonal).
+    # Only σ̄ sees the diagonal, so correct the scalar sum instead of
+    # materializing a diagonal matrix; x̄l is diagonal-blind (xlᵢ−xlᵢ=0).
+    W = Kbar * K
+    sig_bar = (2.0 / sig) * (
+        jnp.sum(W) - jnp.square(sig_n) * diag_Kbar
+    )
+    noise_bar = 2.0 * sig_n * diag_Kbar
+
+    xl = x * ls
+    Wsym = W + W.T
+    xl_bar = -2.0 * (
+        jnp.sum(Wsym, axis=1, keepdims=True) * xl
+        - jnp.dot(Wsym, xl, precision=jax.lax.Precision.HIGHEST)
+    )
+    ls_bar = jnp.sum(xl_bar * x, axis=0)
+
+    params_bar = jnp.concatenate(
+        [sig_bar[None], ls_bar, noise_bar[None]]
+    )
+    x_bar = xl_bar * ls
+    return params_bar, x_bar
+
+
+rbf_noise_gram.defvjp(_fwd, _bwd)
+
+
+def matches_rbf_noise(kern) -> bool:
+    """True iff ``kern`` is the canonical RBF+WhiteNoise sum the fused
+    kernel implements."""
+    from pygpr_tpu.ops.kernels import RBF, Sum, WhiteNoise
+
+    return (
+        isinstance(kern, Sum)
+        and len(kern.kernels) == 2
+        and isinstance(kern.kernels[0], RBF)
+        and isinstance(kern.kernels[1], WhiteNoise)
+    )
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu")

@@ -1,0 +1,78 @@
+"""Pallas fused-gram kernel tests (interpret mode on CPU — the
+"sanitizer" for hand-written tiles, SURVEY.md §5.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import pygpr_tpu as gp
+import pygpr_tpu.ops.pallas_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk.pl, "pallas_call", interp_call)
+
+
+def _setup(rng, n=300, dim=3):
+    x = jnp.asarray(rng.uniform(0, 2, size=(n, dim)), jnp.float32)
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    p = jnp.asarray([1.2, 0.8, 1.1, 0.9, 0.1], jnp.float32)[: dim + 2]
+    return cov, x, p
+
+
+@pytest.mark.parametrize("n", (256, 300, 513))
+def test_fused_matches_xla(n, rng):
+    """Fused gram == XLA path, including ragged (non-tile-multiple) n."""
+    cov, x, p = _setup(rng, n=n)
+    Kr = np.asarray(gp.kernel_matrix(cov, p, x))
+    Kf = np.asarray(pk.rbf_noise_gram(p, x))
+    np.testing.assert_allclose(Kf, Kr, atol=1e-6)
+
+
+def test_fused_custom_vjp(rng):
+    cov, x, p = _setup(rng)
+    gr = jax.grad(lambda q: jnp.sum(jnp.sin(gp.kernel_matrix(cov, q, x))))(p)
+    gf = jax.grad(lambda q: jnp.sum(jnp.sin(pk.rbf_noise_gram(q, x))))(p)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-3
+    )
+    # x cotangent too
+    xr = jax.grad(
+        lambda z: jnp.sum(jnp.cos(gp.kernel_matrix(cov, p, z)))
+    )(x)
+    xf = jax.grad(lambda z: jnp.sum(jnp.cos(pk.rbf_noise_gram(p, z))))(x)
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(xr), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_matcher():
+    assert pk.matches_rbf_noise(gp.Sum((gp.RBF(), gp.WhiteNoise())))
+    assert not pk.matches_rbf_noise(gp.RBF())
+    assert not pk.matches_rbf_noise(gp.Sum((gp.RBF(), gp.RBF())))
+    assert not pk.matches_rbf_noise(
+        gp.Sum((gp.WhiteNoise(), gp.RBF()))
+    )
+
+
+def test_train_gram_dispatch(rng, monkeypatch):
+    """config.use_pallas routes the train gram through the fused kernel
+    (forced on for the test via an on_tpu monkeypatch)."""
+    from pygpr_tpu.config import Config
+    from pygpr_tpu.ops.kernels import train_gram
+
+    monkeypatch.setattr(pk, "on_tpu", lambda: True)
+    cov, x, p = _setup(rng)
+    cfg = Config(use_pallas=True)
+    K1 = np.asarray(train_gram(cov, p, x, cfg))
+    K2 = np.asarray(gp.kernel_matrix(cov, p, x))
+    np.testing.assert_allclose(K1, K2, atol=1e-6)
