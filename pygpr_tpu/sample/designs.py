@@ -112,6 +112,8 @@ class Matern1(Uniform):
         Deterministic per seed (or per explicit key, folded via
         ``key_data`` — a plain bit-read, no device compile).
         """
+        from pygpr_tpu import native
+
         rng = self._host_rng(key)
         mins_h = np.asarray(mins, dtype=np.float64)
         maxs_h = np.asarray(maxs, dtype=np.float64)
@@ -119,24 +121,17 @@ class Matern1(Uniform):
         cand = mins_h + rng.uniform(size=(self.max_count, dim)) * (
             maxs_h - mins_h
         )
-
-        tol = 1e-5  # reference tolerance (sampler.py:41)
-        md = float(min_dist)
+        # C++ scan (ctypes) with a NumPy fallback — reference tolerance
+        # semantics (sampler.py:41).
+        cand_mask, k = native.hard_core_accept(
+            cand, float(min_dist), tol=1e-5
+        )
+        # Compact: accepted points first (in acceptance order), mask
+        # aligned with the returned buffer rows.
         accepted = np.zeros_like(cand)
+        accepted[: int(k)] = cand[cand_mask]
         mask = np.zeros((self.max_count,), bool)
-        k = 0
-        for i in range(self.max_count):
-            c = cand[i]
-            if k == 0:
-                accepted[0] = c
-                mask[0] = True
-                k = 1
-                continue
-            d = np.sqrt(np.sum((accepted[:k] - c) ** 2, axis=-1))
-            if np.all(d - md > tol):
-                accepted[k] = c
-                mask[k] = True
-                k += 1
+        mask[: int(k)] = True
         return jnp.asarray(accepted), jnp.asarray(mask)
 
     def sample(self, n: int, mins, maxs, key: Optional[Array] = None) -> Array:
@@ -182,27 +177,27 @@ def assign_clusters(x: Array, xc: Array, ns: int) -> Array:
     with that center's nearest remaining points (the reference leaves
     uninitialized rows, ``sampler.py:116-117``).
 
-    Host-side NumPy: partitioning is data preparation (it feeds expert
-    shards), and the argmin/argsort at these sizes is microseconds on
-    CPU but minutes of sort-kernel compile over a remote-TPU link.
+    Host-side (C++ via ctypes, NumPy fallback): partitioning is data
+    preparation (it feeds expert shards), and the argmin/argsort at
+    these sizes is microseconds on CPU but minutes of sort-kernel
+    compile over a remote-TPU link.
     """
-    x_h = np.asarray(x)
-    xc_h = np.asarray(xc)
+    from pygpr_tpu import native
+
+    orig = np.asarray(x)
+    x_h = np.asarray(orig, np.float64)
+    xc_h = np.asarray(xc, np.float64)
     n = x_h.shape[0]
     nc = xc_h.shape[0]
-    d = (
-        np.sum(x_h**2, -1)[:, None]
-        + np.sum(xc_h**2, -1)[None, :]
-        - 2.0 * (x_h @ xc_h.T)
-    )  # [n, nc]
-    idx = np.argmin(d, axis=1)
+    d = native.sq_dist_matrix(x_h, xc_h)  # [n, nc]
+    idx = native.nearest_center(x_h, xc_h)
 
-    out = np.empty((nc, ns, x_h.shape[-1]), dtype=x_h.dtype)
+    out = np.empty((nc, ns, orig.shape[-1]), dtype=orig.dtype)
     for i in range(nc):
         member = idx == i
         rank = np.where(member, np.arange(n, dtype=np.float64), n + d[:, i])
         order = np.argsort(rank, kind="stable")
-        out[i] = x_h[order[:ns]]
+        out[i] = orig[order[:ns]]
     return jnp.asarray(out)
 
 
