@@ -46,6 +46,7 @@ from pygpr_tpu.models.likelihood import (
 )
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models import grbcm
+from pygpr_tpu.models.likelihood import log_likelihood_batched
 from pygpr_tpu.optimize import (
     CG,
     BFGSQuad,
@@ -59,5 +60,16 @@ from pygpr_tpu.optimize import (
     learn_rate,
     minimize_lbfgs,
 )
+
+from pygpr_tpu import interop, optimize, parallel, sample, utils
+from pygpr_tpu.sample import (
+    Matern1,
+    Uniform,
+    cluster_samples,
+    euclidean_dist,
+    sample_gp,
+    sample_posterior,
+)
+from pygpr_tpu.interop import SK_WRAP, SKWrap
 
 __version__ = "0.1.0"

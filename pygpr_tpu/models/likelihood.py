@@ -178,6 +178,15 @@ class MLE:
         return float(v), self.grad_value
 
 
+def log_likelihood_batched(kern, params, x, y, config: Config = DEFAULT):
+    """Parity API for the reference free function
+    (``gr_bcm.py:158-176``) — with its bug fixed: the reference's
+    log-det and constant terms are dangling no-op statements
+    (``gr_bcm.py:170-172``), so it silently returns only the quadratic
+    term.  This returns the full batched NLML (``loss.py:49-51``)."""
+    return nlml(kern, params, x, y, config)
+
+
 class Loss:
     """Abstract loss interface (reference ``Loss``, ``loss.py:10-28``)."""
 

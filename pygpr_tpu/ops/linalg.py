@@ -58,9 +58,19 @@ def _chol_ladder(K: Array, config: Config):
     base = jnp.asarray(config.jitter, dtype)
     rungs = config.jitter_rungs
 
+    def chol_impl(A):
+        if config.use_pallas and dtype == jnp.float32 and A.shape[-1] <= 1024:
+            from pygpr_tpu.ops import pallas_kernels as pk
+
+            if pk.on_tpu():
+                from pygpr_tpu.ops.pallas_cholesky import cholesky_pallas
+
+                return cholesky_pallas(A)
+        return lax.linalg.cholesky(A)
+
     def attempt(k):
         jit_k = base * (10.0**k).astype(dtype)
-        L = lax.linalg.cholesky(add_diag(K, jit_k))
+        L = chol_impl(add_diag(K, jit_k))
         ok = jnp.all(jnp.isfinite(L))
         return L, jit_k, ok
 

@@ -76,3 +76,45 @@ def test_train_gram_dispatch(rng, monkeypatch):
     K1 = np.asarray(train_gram(cov, p, x, cfg))
     K2 = np.asarray(gp.kernel_matrix(cov, p, x))
     np.testing.assert_allclose(K1, K2, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Blocked Cholesky kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", (64, 128, 300, 512))
+def test_cholesky_pallas_matches_lax(n, rng):
+    from pygpr_tpu.ops.pallas_cholesky import cholesky_pallas
+
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    K = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    L = np.asarray(cholesky_pallas(jnp.asarray(K), interpret=True))
+    Lref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, Lref, atol=2e-4 * n)
+    # strictly lower-triangular output
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_cholesky_pallas_batched(rng):
+    from pygpr_tpu.ops.pallas_cholesky import cholesky_pallas
+
+    Ks = []
+    for _ in range(3):
+        A = rng.normal(size=(96, 96)).astype(np.float32)
+        Ks.append(A @ A.T + 96 * np.eye(96, dtype=np.float32))
+    Ks = np.stack(Ks)
+    Lb = np.asarray(cholesky_pallas(jnp.asarray(Ks), interpret=True))
+    for i in range(3):
+        np.testing.assert_allclose(
+            Lb[i], np.linalg.cholesky(Ks[i]), atol=1e-3
+        )
+
+
+def test_cholesky_pallas_indefinite_nan(rng):
+    """Indefinite input must yield NaNs (the jitter-ladder signal)."""
+    from pygpr_tpu.ops.pallas_cholesky import cholesky_pallas
+
+    K = -np.eye(128, dtype=np.float32)
+    L = np.asarray(cholesky_pallas(jnp.asarray(K), interpret=True))
+    assert np.isnan(L).any()
