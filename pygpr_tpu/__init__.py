@@ -16,6 +16,7 @@ from pygpr_tpu.config import DEFAULT, Config, default_dtype
 from pygpr_tpu.ops.kernels import (
     RBF,
     Kernel,
+    Matern,
     Sum,
     WhiteNoise,
     kernel_and_grad,

@@ -2,6 +2,7 @@ from pygpr_tpu.ops import kernels, linalg
 from pygpr_tpu.ops.kernels import (
     RBF,
     Kernel,
+    Matern,
     Sum,
     WhiteNoise,
     kernel_and_grad,

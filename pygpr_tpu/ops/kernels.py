@@ -197,6 +197,65 @@ class WhiteNoise(Kernel):
         return krn, dkrn
 
 
+class Matern(Kernel):
+    """ARD Matérn kernel, ν ∈ {1/2, 3/2, 5/2} (beyond-reference
+    capability — the reference ships only SE + noise).
+
+    Same inverse-lengthscale convention as :class:`RBF`:
+    ``r = ‖(x − x')⊙ℓ‖``, params ``[σ, ℓ₁..ℓ_d]``, and
+
+      ν=1/2:  K = σ² exp(−r)
+      ν=3/2:  K = σ² (1 + √3 r) exp(−√3 r)
+      ν=5/2:  K = σ² (1 + √5 r + 5r²/3) exp(−√5 r)
+
+    Hyperparameter gradients come from autodiff (``matrix_and_grad``
+    falls back to ``jax.jacfwd`` — exactness tested against FD).
+    """
+
+    def __init__(self, nu: float = 1.5):
+        assert nu in (0.5, 1.5, 2.5), "Matern supports nu in {0.5,1.5,2.5}"
+        self.nu = nu
+
+    def __hash__(self):
+        return hash((type(self), self.nu))
+
+    def __eq__(self, other):
+        return type(other) is Matern and other.nu == self.nu
+
+    def n_params(self, dim: int) -> int:
+        return dim + 1
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xl = x * ls
+        xpl = None if xp is None else xp * ls
+        sqd = sq_distance(xl, xpl, precision=config.precision)
+        # sqrt has an infinite derivative at 0: clamp for grad safety
+        # (the diagonal r=0 would otherwise produce NaN gradients).
+        r = jnp.sqrt(jnp.maximum(sqd, 1e-30))
+        if self.nu == 0.5:
+            shape = 1.0
+            scale = 1.0
+        elif self.nu == 1.5:
+            c = jnp.sqrt(jnp.asarray(3.0, r.dtype))
+            shape = 1.0 + c * r
+            scale = c
+        else:
+            c = jnp.sqrt(jnp.asarray(5.0, r.dtype))
+            shape = 1.0 + c * r + (5.0 / 3.0) * sqd
+            scale = c
+        return jnp.square(sig) * shape * jnp.exp(-scale * r)
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
+        return krn, jnp.moveaxis(jac, -1, 0)
+
+
 class Sum(Kernel):
     """Sum-of-kernels combinator, reference ``Compose`` (``covar.py:28``).
 

@@ -12,3 +12,9 @@ from pygpr_tpu.parallel.sharded import (
     grbcm_predict_sharded,
     mcmc_sharded,
 )
+from pygpr_tpu.parallel.dist_cholesky import (
+    dist_cholesky,
+    dist_cholesky_solve,
+    dist_gram,
+    dist_nlml,
+)

@@ -1,0 +1,233 @@
+"""Distributed blocked Cholesky over a device mesh (SURVEY.md §5.7).
+
+For a single expert whose kernel matrix exceeds one chip's HBM, the
+reference has no answer at all (it is single-process CPU).  This is the
+TPU-native one: **block-row sharding** of K over a mesh axis with a
+fan-out right-looking factorization — the model-parallel (TP-analogue)
+axis of SURVEY.md §2.10:
+
+    per panel k (one panel per device row-band, B = n/D):
+      1. the diagonal block is `psum`-broadcast (owner contributes, the
+         rest contribute zeros) and factorized redundantly — a B×B
+         Cholesky is cheap compared to one collective round-trip;
+      2. every band computes its TRSM block L_ik = A_ik L_kk⁻ᵀ locally;
+      3. the finished panel column is `all_gather`-ed so each band
+         applies its trailing SYRK update with one local GEMM.
+
+    Communication per factorization: D psums of B² + D all_gathers of
+    n·B — O(n²) total, riding ICI; compute stays O(n³/D) per device.
+
+Spurious trailing updates land only in the strictly-upper triangle
+(rows of finished bands) and are zeroed at the end, which keeps every
+step mask-free on the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pygpr_tpu.config import DEFAULT, Config
+from pygpr_tpu.parallel.mesh import EXPERT_AXIS
+
+Array = jax.Array
+
+
+def dist_cholesky(
+    K: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+) -> Array:
+    """Cholesky of SPD ``K [n, n]`` block-row-sharded over ``axis``.
+
+    ``n`` must be divisible by the axis size.  Input may be replicated
+    or sharded; output is row-sharded (``P(axis)``) — keep it sharded
+    for downstream distributed solves.
+    """
+    D = mesh.shape[axis]
+    n = K.shape[-1]
+    assert n % D == 0, "n must divide the mesh axis"
+    B = n // D
+
+    def local_fn(A):
+        # A: [B, n] — this device's row band.
+        idx = lax.axis_index(axis)
+
+        def panel(k, A):
+            # 1) broadcast + redundantly factorize the diagonal block
+            my_block = lax.dynamic_slice(A, (0, k * B), (B, B))
+            contrib = jnp.where(idx == k, my_block, jnp.zeros_like(my_block))
+            Akk = lax.psum(contrib, axis)
+            Lkk = lax.linalg.cholesky(Akk)
+
+            # 2) local TRSM: X L_kkᵀ = A_ik  →  X = A_ik L_kk⁻ᵀ
+            Aik = lax.dynamic_slice(A, (0, k * B), (B, B))
+            Xik = lax.linalg.triangular_solve(
+                Lkk, Aik, left_side=False, lower=True, transpose_a=True
+            )
+            # band k takes the factor itself; earlier bands are zero
+            Lik = jnp.where(
+                idx > k,
+                Xik,
+                jnp.where(idx == k, Lkk, jnp.zeros_like(Xik)),
+            )
+            A = lax.dynamic_update_slice(A, Lik, (0, k * B))
+
+            # 3) gather the finished panel column, one trailing GEMM
+            panel_col = lax.all_gather(Lik, axis)            # [D, B, B]
+            panel_col = panel_col.reshape(n, B)
+            U = jnp.matmul(
+                Lik, panel_col.T, precision=config.precision
+            )                                                 # [B, n]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            trailing = cols >= (k + 1) * B
+            return A - jnp.where(trailing, U, 0.0)
+
+        A = lax.fori_loop(0, D, panel, A)
+        # zero the strictly-upper triangle of this band
+        rows = idx * B + jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        return jnp.where(rows >= cols, A, 0.0)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(EXPERT_AXIS),) if axis == EXPERT_AXIS else (P(axis),),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(K)
+
+
+def dist_cholesky_solve(
+    L_sharded: Array,
+    b: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+) -> Array:
+    """Solve ``K x = b`` given the row-sharded factor from
+    :func:`dist_cholesky`.
+
+    v1 strategy: the factor is O(n²) memory — all-gather it per solve
+    and run the two local triangular solves replicated.  This is the
+    right trade at n ≲ 50k (gather is one n²/D-per-link transfer; the
+    solves are latency-bound anyway); a fully distributed block solver
+    is the upgrade path when single-matrix n outgrows one chip's HBM.
+    """
+
+    def local_fn(Lloc, b):
+        Lfull = lax.all_gather(Lloc, axis).reshape(
+            Lloc.shape[1], Lloc.shape[1]
+        )
+        z = lax.linalg.triangular_solve(
+            Lfull, b[:, None], left_side=True, lower=True
+        )
+        x = lax.linalg.triangular_solve(
+            Lfull, z, left_side=True, lower=True, transpose_a=True
+        )
+        return x[:, 0]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(L_sharded, b)
+
+
+def dist_gram(
+    kern,
+    params: Array,
+    x: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+) -> Array:
+    """Row-sharded train gram K(x, x) + jitter — no full K on any chip.
+
+    Each band computes its rows as a cross-kernel against replicated x
+    (``kern.matrix(params, x_full, xp=x_band)`` → ``[B, n]`` rows index
+    the band).  The cross path misses diagonal-only terms (WhiteNoise
+    returns a zero cross block, ``covar.py:242-243``), so the global
+    diagonal is overwritten with ``kern.diag`` (the true train diagonal
+    for any composition) plus the base jitter.
+    """
+    D = mesh.shape[axis]
+    n = x.shape[0]
+    assert n % D == 0
+    B = n // D
+
+    def gram_fn(xb, x_full):
+        idx = lax.axis_index(axis)
+        Kb = kern.matrix(params, x_full, xb, config=config)   # [B, n]
+        dvals = kern.diag(params, xb, config=config)          # [B]
+        rows = idx * B + jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        jit = jnp.asarray(config.jitter, Kb.dtype)
+        return jnp.where(rows == cols, dvals[:, None] + jit, Kb)
+
+    return shard_map(
+        gram_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(x, x)
+
+
+def dist_nlml(
+    kern,
+    params: Array,
+    x: Array,
+    y: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+) -> Array:
+    """NLML of one large expert with the gram build AND factorization
+    distributed over ``axis`` (the "model-parallel" GP path): reference
+    formula ``loss.py:49-51`` with a psum-reduced log-det."""
+    import math
+
+    D = mesh.shape[axis]
+    n = x.shape[0]
+    B = n // D
+
+    gram = dist_gram(kern, params, x, mesh, axis=axis, config=config)
+    L = dist_cholesky(gram, mesh, axis=axis, config=config)
+    w = dist_cholesky_solve(L, y, mesh, axis=axis, config=config)
+
+    def logdiag_fn(Lloc):
+        idx = lax.axis_index(axis)
+        rows = idx * B + jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        diag = jnp.where(rows == cols, Lloc, 1.0)
+        return lax.psum(jnp.sum(jnp.log(diag)), axis)
+
+    half_logdet = shard_map(
+        logdiag_fn,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(),
+        check_vma=False,
+    )(L)
+
+    return (
+        0.5 * jnp.dot(w, y)
+        + half_logdet
+        + 0.5 * n * math.log(2.0 * math.pi)
+    )

@@ -136,3 +136,54 @@ def test_mcmc_uncoordinated_differs(rng):
     )
     steps = np.asarray(res.step_size)
     assert np.unique(steps).size > 1  # independent adaptation
+
+
+# ---------------------------------------------------------------------------
+# Distributed Cholesky / NLML (block-row sharded)
+# ---------------------------------------------------------------------------
+
+
+def test_dist_cholesky_matches_lax(rng):
+    from pygpr_tpu.parallel.dist_cholesky import dist_cholesky
+
+    n = 256
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    mesh = make_mesh(n_expert=8)
+    L = np.asarray(dist_cholesky(K, mesh))
+    Lref = np.asarray(jax.lax.linalg.cholesky(K))
+    np.testing.assert_allclose(L, Lref, rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_dist_cholesky_solve(rng):
+    from pygpr_tpu.parallel.dist_cholesky import (
+        dist_cholesky,
+        dist_cholesky_solve,
+    )
+
+    n = 128
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    mesh = make_mesh(n_expert=8)
+    L = dist_cholesky(K, mesh)
+    x = np.asarray(dist_cholesky_solve(L, b, mesh))
+    np.testing.assert_allclose(
+        x, np.linalg.solve(np.asarray(K), np.asarray(b)), rtol=1e-8
+    )
+
+
+def test_dist_nlml_matches_single_device(rng):
+    from pygpr_tpu.models.likelihood import nlml
+    from pygpr_tpu.parallel.dist_cholesky import dist_nlml
+
+    n, dim = 256, 2
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    x = jnp.asarray(rng.uniform(size=(n, dim)))
+    y = jnp.sin(x.sum(-1))
+    p = jnp.asarray([1.0, 1.0, 1.0, 0.1])
+    mesh = make_mesh(n_expert=8)
+    v_dist = float(dist_nlml(cov, p, x, y, mesh))
+    v_ref = float(nlml(cov, p, x, y))
+    np.testing.assert_allclose(v_dist, v_ref, rtol=1e-10)
