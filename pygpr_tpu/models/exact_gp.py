@@ -65,10 +65,32 @@ def factorize(
     x: Array,
     y: Array,
     config: Config = DEFAULT,
+    stream: bool = False,
 ) -> GPState:
     """Build the posterior state: K → L → w (reference ``update()``,
-    ``gpr.py:65-74``).  Auto-vmaps over a leading committee axis."""
+    ``gpr.py:65-74``).  Auto-vmaps over a leading committee axis.
+
+    ``stream=True`` sequentializes the committee axis with ``lax.map``
+    instead of vmap: peak memory is one expert's gram instead of all of
+    them — the single-chip mode for large committees (e.g. 16×6.5k²
+    experts OOM a 16 GB chip when vmapped).  On a mesh, shard the axis
+    instead (``pygpr_tpu.parallel``).
+    """
     if x.ndim == 3:
+        if stream:
+            p_b = params.ndim == 2
+            nc = x.shape[0]
+            p_all = (
+                params
+                if p_b
+                else jnp.broadcast_to(params, (nc,) + params.shape)
+            )
+            return jax.lax.map(
+                lambda args: _factorize_one(
+                    kern, args[0], args[1], args[2], config
+                ),
+                (p_all, x, y),
+            )
         p_ax = 0 if params.ndim == 2 else None
         return jax.vmap(
             lambda p, xx, yy: _factorize_one(kern, p, xx, yy, config),
@@ -125,13 +147,19 @@ def predict(
     xp: Array,
     var: str = "full",
     config: Config = DEFAULT,
+    stream: bool = False,
 ) -> Tuple[Array, Optional[Array]]:
     """Posterior mean and ("full" | "diag" | "none") uncertainty at xp.
 
     Batched state (leading ``nc``) with a single ``[m, d]`` xp follows
-    the reference broadcast (``gpr.py:79-85``).
+    the reference broadcast (``gpr.py:79-85``).  ``stream=True``
+    sequentializes experts (see :func:`factorize`).
     """
     if state.x.ndim == 3:
+        if stream and xp.ndim == 2:
+            return jax.lax.map(
+                lambda s: _predict_one(kern, s, xp, var, config), state
+            )
         xp_ax = 0 if xp.ndim == 3 else None
         return jax.vmap(
             lambda s, q: _predict_one(kern, s, q, var, config),
@@ -164,11 +192,15 @@ class ExactGP:
     manages the cached :class:`GPState`.
     """
 
-    def __init__(self, x, y, cov: Kernel, config: Config = DEFAULT):
+    def __init__(
+        self, x, y, cov: Kernel, config: Config = DEFAULT,
+        stream: bool = False,
+    ):
         self.x = jnp.asarray(x)
         self.y = jnp.asarray(y)
         self.cov = cov
         self.config = config
+        self.stream = stream
         self.params = cov.init_params(self.x, config)
         self.state: Optional[GPState] = None
         self.need_upd = True
@@ -186,13 +218,15 @@ class ExactGP:
     def update(self) -> None:
         if self.need_upd:
             self.state = factorize(
-                self.cov, self.params, self.x, self.y, self.config
+                self.cov, self.params, self.x, self.y, self.config,
+                stream=self.stream,
             )
             self.need_upd = False
 
     def predict(self, xp, var: str = "full"):
         self.update()
         mean, cov = predict(
-            self.cov, self.state, jnp.asarray(xp), var, self.config
+            self.cov, self.state, jnp.asarray(xp), var, self.config,
+            stream=self.stream,
         )
         return [mean, cov]

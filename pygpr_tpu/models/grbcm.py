@@ -138,11 +138,15 @@ def predict(
     *,
     mask: Optional[Array] = None,
     config: Config = DEFAULT,
+    stream: bool = False,
 ) -> AggregateResult:
     """Committee prediction: global + batched local predicts, then
-    aggregation (``gr_bcm.py:151-155``)."""
+    aggregation (``gr_bcm.py:151-155``).  ``stream=True`` sequentializes
+    experts for single-chip memory (see ``exact_gp.factorize``)."""
     ys_g, cov_g = exact_gp.predict(kern, state_g, xs, var, config)
-    ys_l, cov_l = exact_gp.predict(kern, state_l, xs, var, config)
+    ys_l, cov_l = exact_gp.predict(
+        kern, state_l, xs, var, config, stream=stream
+    )
 
     if var == "diag":
         var_g, var_l = cov_g, cov_l
@@ -226,7 +230,8 @@ class GRBCM:
     ``prec`` after aggregation for observability (``gr_bcm.py:135-136``).
     """
 
-    def __init__(self, xl, yl, xg, yg, cov: Kernel, config: Config = DEFAULT):
+    def __init__(self, xl, yl, xg, yg, cov: Kernel, config: Config = DEFAULT,
+                 stream: bool = False):
         xl, yl = jnp.asarray(xl), jnp.asarray(yl)
         xg, yg = jnp.asarray(xg), jnp.asarray(yg)
         self.nc = xl.shape[0]
@@ -237,8 +242,9 @@ class GRBCM:
         self.config = config
         self.xl, self.yl, self.xg, self.yg = xl, yl, xg, yg
         x, y = augment(xl, yl, xg, yg)
+        self.stream = stream
         self.gpg = exact_gp.ExactGP(xg, yg, cov, config)
-        self.gpl = exact_gp.ExactGP(x, y, cov, config)
+        self.gpl = exact_gp.ExactGP(x, y, cov, config, stream=stream)
         self.mask = jnp.ones((self.nc,), bool)
         self.beta = None
         self.prec = None
@@ -268,6 +274,7 @@ class GRBCM:
             var,
             mask=self.mask,
             config=self.config,
+            stream=self.stream,
         )
         self.beta = res.beta
         self.prec = res.prec

@@ -188,6 +188,45 @@ def dist_gram(
     )(x, x)
 
 
+def dist_cholesky_laddered(
+    gram: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+) -> Array:
+    """:func:`dist_cholesky` under the escalating jitter ladder.
+
+    ``gram`` already carries the base jitter; on a non-finite factor the
+    whole distributed factorization retries with an extra
+    ``jitter·(10^k − 1)`` on the diagonal (so rung k totals
+    ``jitter·10^k``, matching ``ops.linalg.safe_cholesky``).
+    """
+    n = gram.shape[-1]
+    dtype = gram.dtype
+    base = jnp.asarray(config.jitter, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def attempt(k):
+        extra = base * ((10.0**k).astype(dtype) - 1.0)
+        L = dist_cholesky(gram + extra * eye, mesh, axis=axis, config=config)
+        return L, jnp.all(jnp.isfinite(L))
+
+    L0, ok0 = attempt(jnp.asarray(0, dtype))
+
+    def cond(state):
+        k, _, ok = state
+        return jnp.logical_and(~ok, k < config.jitter_rungs - 1)
+
+    def body(state):
+        k, L, ok = state
+        L2, ok2 = attempt((k + 1).astype(dtype))
+        return k + 1, jnp.where(ok, L, L2), ok | ok2
+
+    _, L, _ = lax.while_loop(cond, body, (jnp.asarray(0, dtype), L0, ok0))
+    return L
+
+
 def dist_nlml(
     kern,
     params: Array,
@@ -208,7 +247,7 @@ def dist_nlml(
     B = n // D
 
     gram = dist_gram(kern, params, x, mesh, axis=axis, config=config)
-    L = dist_cholesky(gram, mesh, axis=axis, config=config)
+    L = dist_cholesky_laddered(gram, mesh, axis=axis, config=config)
     w = dist_cholesky_solve(L, y, mesh, axis=axis, config=config)
 
     def logdiag_fn(Lloc):

@@ -11,5 +11,6 @@ from pygpr_tpu.sample.mcmc import (
     log_posterior_fn,
     posterior_moments,
     sample_posterior,
+    sample_posterior_hmc,
     split_rhat,
 )

@@ -169,6 +169,135 @@ def sample_posterior(
     return MCMCResult(samples, lps, acc, step)
 
 
+def _hmc_chain(
+    lp: Callable[[Array], Array],
+    u0: Array,
+    key: Array,
+    n_samples: int,
+    n_warmup: int,
+    target_accept: float,
+    init_step: float,
+    n_leapfrog: int,
+    sync_fn: Callable[[Array], Array],
+):
+    """Adaptive Hamiltonian Monte Carlo: leapfrog with autodiff grads
+    (one NLML gradient per step — the same O(n³) op as the optimizer
+    inner loop), Robbins-Monro step-size adaptation in warmup."""
+    dtype = u0.dtype
+    nhp = u0.shape[-1]
+    grad_lp = jax.grad(lp)
+
+    def leapfrog(u, p, eps):
+        p = p + 0.5 * eps * grad_lp(u)
+
+        def body(_, carry):
+            u, p = carry
+            u = u + eps * p
+            p = p + eps * grad_lp(u)
+            return u, p
+
+        u, p = jax.lax.fori_loop(0, n_leapfrog - 1, body, (u, p))
+        u = u + eps * p
+        p = p + 0.5 * eps * grad_lp(u)
+        return u, p
+
+    def hmc_step(u, lp_u, log_step, key):
+        k1, k2 = jax.random.split(key)
+        eps = jnp.exp(log_step)
+        p0 = jax.random.normal(k1, (nhp,), dtype)
+        u_new, p_new = leapfrog(u, p0, eps)
+        lp_new = lp(u_new)
+        h0 = lp_u - 0.5 * jnp.sum(p0 * p0)
+        h1 = lp_new - 0.5 * jnp.sum(p_new * p_new)
+        log_a = h1 - h0
+        # reject non-finite trajectories outright
+        log_a = jnp.where(jnp.isfinite(log_a), log_a, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k2, (), dtype)) < log_a
+        u = jnp.where(accept, u_new, u)
+        lp_u = jnp.where(accept, lp_new, lp_u)
+        a_prob = jnp.minimum(1.0, jnp.exp(log_a))
+        return u, lp_u, accept, a_prob
+
+    def warmup_body(carry, it):
+        u, lp_u, log_step, key = carry
+        key, sub = jax.random.split(key)
+        u, lp_u, _, a_prob = hmc_step(u, lp_u, log_step, sub)
+        stat = sync_fn(a_prob - target_accept)
+        log_step = log_step + stat / jnp.sqrt(1.0 + it)
+        return (u, lp_u, log_step, key), None
+
+    def sample_body(carry, _):
+        u, lp_u, log_step, key = carry
+        key, sub = jax.random.split(key)
+        u, lp_u, accept, _ = hmc_step(u, lp_u, log_step, sub)
+        return (u, lp_u, log_step, key), (u, lp_u, accept)
+
+    carry = (u0, lp(u0), jnp.asarray(jnp.log(init_step), dtype), key)
+    carry, _ = jax.lax.scan(
+        warmup_body, carry, jnp.arange(n_warmup, dtype=dtype)
+    )
+    carry, (us, lps, accepts) = jax.lax.scan(
+        sample_body, carry, None, length=n_samples
+    )
+    _, _, log_step, _ = carry
+    return (
+        jnp.exp(us),
+        lps,
+        jnp.mean(accepts.astype(dtype)),
+        jnp.exp(log_step),
+    )
+
+
+def sample_posterior_hmc(
+    kern: Kernel,
+    x: Array,
+    y: Array,
+    key: Array,
+    params0: Optional[Array] = None,
+    *,
+    n_samples: int = 500,
+    n_warmup: int = 300,
+    n_chains: int = 4,
+    target_accept: float = 0.75,
+    init_step: float = 0.05,
+    n_leapfrog: int = 8,
+    prior_std: float = 3.0,
+    jitter_init: float = 0.5,
+    config: Config = DEFAULT,
+    sync_fn: Callable[[Array], Array] = lambda s: s,
+) -> MCMCResult:
+    """HMC over log-hyperparameters (gradient-guided — mixes far better
+    than RWM in correlated posteriors; each leapfrog step costs one
+    NLML gradient).  Same chain/vmap/sync structure as
+    :func:`sample_posterior`."""
+    if params0 is None:
+        params0 = jnp.ones((kern.n_params(x.shape[-1]),), dtype=x.dtype)
+    u0 = jnp.log(jnp.abs(params0))
+    lp = log_posterior_fn(kern, x, y, prior_std, config)
+
+    keys = jax.random.split(key, n_chains + 1)
+    init_keys = keys[:n_chains]
+    u0s = u0[None] + jitter_init * jax.vmap(
+        lambda k: jax.random.normal(k, u0.shape, u0.dtype)
+    )(init_keys)
+    chain_keys = jax.random.split(keys[-1], n_chains)
+
+    run = partial(
+        _hmc_chain,
+        lp,
+        n_samples=n_samples,
+        n_warmup=n_warmup,
+        target_accept=target_accept,
+        init_step=init_step,
+        n_leapfrog=n_leapfrog,
+        sync_fn=sync_fn,
+    )
+    samples, lps, acc, step = jax.vmap(lambda u, k: run(u, k))(
+        u0s, chain_keys
+    )
+    return MCMCResult(samples, lps, acc, step)
+
+
 def posterior_moments(samples: Array) -> Tuple[Array, Array]:
     """Pooled posterior mean/std over chains × draws → ``[nhp]`` each."""
     flat = samples.reshape(-1, samples.shape[-1])

@@ -187,3 +187,16 @@ def test_dist_nlml_matches_single_device(rng):
     v_dist = float(dist_nlml(cov, p, x, y, mesh))
     v_ref = float(nlml(cov, p, x, y))
     np.testing.assert_allclose(v_dist, v_ref, rtol=1e-10)
+
+
+def test_dist_nlml_ladder_rescues_singular(rng):
+    """Duplicated points (singular gram) + bare RBF: the distributed
+    ladder must still return a finite NLML."""
+    from pygpr_tpu.parallel.dist_cholesky import dist_nlml
+
+    x1 = rng.uniform(size=(64, 2))
+    x = jnp.asarray(np.concatenate([x1, x1]))   # 128 rows, rank-64 gram
+    y = jnp.sin(x.sum(-1))
+    mesh = make_mesh(n_expert=8)
+    v = float(dist_nlml(gp.RBF(), jnp.ones(3), x, y, mesh))
+    assert np.isfinite(v)

@@ -156,3 +156,26 @@ def test_mcmc_runs_jitted(rng):
     s = f(jax.random.PRNGKey(1))
     assert s.shape == (2, 20, 3)
     assert np.isfinite(np.asarray(s)).all()
+
+
+@pytest.mark.slow
+def test_hmc_posterior_moments(rng):
+    """HMC recovers the generating noise level (gradient-guided
+    counterpart of the RWM check above)."""
+    from pygpr_tpu.sample import sample_posterior_hmc
+
+    n = 60
+    x = jnp.asarray(rng.uniform(0, 3, size=(n, 1)))
+    y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n))
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    res = sample_posterior_hmc(
+        cov, x, y, jax.random.PRNGKey(0),
+        n_samples=200, n_warmup=200, n_chains=4,
+    )
+    assert res.samples.shape == (4, 200, 3)
+    acc = np.asarray(res.accept_rate)
+    assert np.all(acc > 0.3)
+    mean, _ = posterior_moments(res.samples)
+    assert 0.05 < float(mean[-1]) < 0.25
+    rhat = np.asarray(split_rhat(res.samples))
+    assert np.all(rhat < 1.3)
