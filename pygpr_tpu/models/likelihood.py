@@ -48,10 +48,13 @@ def _nlml_one(kern: Kernel, params, x, y, config: Config) -> Array:
     # Laddered Cholesky: differentiable via the custom rule in
     # ops.linalg, and finite on f32/TPU where fixed 1e-7 jitter fails.
     L = linalg.safe_cholesky(krn, config).chol
-    w = linalg.cholesky_solve(L, y)
+    # yᵀK⁻¹y = ‖L⁻¹y‖²: ONE triangular solve instead of the
+    # cholesky_solve pair — vector solves are latency-bound on TPU, so
+    # this halves the solve cost of the optimizer inner loop.
+    z = linalg.solve_lower(L, y)
     n = y.shape[-1]
     return (
-        0.5 * jnp.dot(w, y)
+        0.5 * jnp.dot(z, z)
         + linalg.half_logdet_from_chol(L)
         + 0.5 * n * math.log(2.0 * math.pi)
     )

@@ -149,6 +149,200 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# ---------------------------------------------------------------------------
+# Batched HBM-streaming variant: the pivot chain is the sequential cost,
+# so batch it — all nb matrices advance their panel-k micro-steps
+# together.  Matrices stay in HBM (aliased in/out); the VMEM working set
+# is one column panel of every matrix at a time, DMA'd per step.
+# ---------------------------------------------------------------------------
+
+
+def _micro_cholesky_batched(tile: Array) -> Array:
+    """[nb, B, B] diagonal blocks factorized together — each masked VPU
+    step now does nb pivots' worth of work instead of one."""
+    nb = tile.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, B, B), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, B, B), 2)
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (nb, B, 1), 1)
+
+    def body(j, D):
+        col = jnp.sum(
+            jnp.where(cols == j, D, 0.0), axis=2, keepdims=True
+        )                                                    # [nb, B, 1]
+        # two single-axis reductions: Mosaic's layout inference crashes
+        # on multi-axis keepdims sums over 3-D operands
+        piv = jnp.sum(
+            jnp.sum(
+                jnp.where((rows == j) & (cols == j), D, 0.0),
+                axis=2,
+                keepdims=True,
+            ),
+            axis=1,
+            keepdims=True,
+        )                                                    # [nb, 1, 1]
+        d = jnp.sqrt(piv)
+        newcol = jnp.where(r1 == j, d, jnp.where(r1 > j, col / d, col))
+        D = jnp.where(cols == j, newcol, D)
+        mask = (rows > j) & (cols > j)
+        upd = newcol * jnp.swapaxes(newcol, 1, 2)
+        return D - jnp.where(mask, upd, 0.0)
+
+    D = jax.lax.fori_loop(0, B, body, tile)
+    return jnp.where(rows >= cols, D, 0.0)
+
+
+def _tri_inverse_batched(L: Array) -> Array:
+    """Batched block-doubling inverse of [nb, B, B] lower factors."""
+    nb = L.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, B, B), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, B, B), 2)
+    same8 = (rows // 8) == (cols // 8)
+    diag = rows == cols
+
+    def bmm(a, b):
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    pivots = jnp.sum(jnp.where(diag, L, 0.0), axis=2, keepdims=True)
+    pivots = jnp.where(pivots == 0.0, 1.0, pivots)
+    T = jnp.zeros_like(L)
+    for i in range(8):
+        row_i = (rows % 8) == i
+        Rm = jnp.where(row_i & same8 & ((cols % 8) < i), L, 0.0)
+        acc = bmm(Rm, T)
+        E = jnp.where(diag & row_i, 1.0, 0.0)
+        newrows = (E - acc) / pivots
+        T = jnp.where(row_i, newrows, T)
+
+    s = 8
+    while s < B:
+        pairm = ((rows // s - cols // s) == 1) & (
+            (rows // (2 * s)) == (cols // (2 * s))
+        )
+        Bm = jnp.where(pairm, L, 0.0)
+        X = bmm(bmm(T, Bm), T)
+        T = T - jnp.where(pairm, X, 0.0)
+        s *= 2
+    return T
+
+
+def _chol_batched_kernel(nb: int, n: int, hbm_ref, out_ref, panel, colbuf, sems):
+    """Grid-less kernel: K [nb, n, n] lives in HBM (in/out aliased);
+    per static panel k, DMA the column panel of all matrices to VMEM,
+    run the batched factorization steps, DMA back, then stream the
+    trailing column panels through ``colbuf`` for the SYRK updates."""
+    P = n // B
+
+    def dma_in(dst, col_lo, row_lo, row_hi, sem):
+        cp = pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(row_lo, row_hi - row_lo),
+                       pl.ds(col_lo, B)],
+            dst.at[:, pl.ds(0, row_hi - row_lo), :],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    def dma_out(src, col_lo, row_lo, row_hi, sem):
+        cp = pltpu.make_async_copy(
+            src.at[:, pl.ds(0, row_hi - row_lo), :],
+            out_ref.at[:, pl.ds(row_lo, row_hi - row_lo),
+                       pl.ds(col_lo, B)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    for p in range(P):
+        lo = p * B
+        hi = lo + B
+        # fetch this panel: rows lo..n of column block p (rows above lo
+        # are upper-triangle; write zeros there at the end instead)
+        dma_in(panel, lo, lo, n, sems.at[0])
+        D = _micro_cholesky_batched(panel[:, 0:B, :])
+        panel[:, 0:B, :] = D
+        m = n - hi
+        if m > 0:
+            Tinv = _tri_inverse_batched(D)
+            C = panel[:, B : B + m, :]
+            X = jax.lax.dot_general(
+                C, Tinv,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            panel[:, B : B + m, :] = X
+        dma_out(panel, lo, lo, n, sems.at[0])
+        if m > 0:
+            # trailing SYRK: stream column panels j > p
+            for j in range(p + 1, P):
+                jlo = j * B
+                rows_lo = hi               # update all rows below panel p
+                mm = n - rows_lo
+                dma_in(colbuf, jlo, rows_lo, n, sems.at[1])
+                Xj = panel[:, B + (jlo - hi) : B + (jlo - hi) + B, :]
+                upd = jax.lax.dot_general(
+                    panel[:, B : B + mm, :], Xj,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                colbuf[:, 0:mm, :] = colbuf[:, 0:mm, :] - upd
+                dma_out(colbuf, jlo, rows_lo, n, sems.at[1])
+    # zero the upper-triangle strips (rows < panel) in one pass
+    for p in range(1, P):
+        lo = p * B
+        panel[:, 0:lo, :] = jnp.zeros((nb, lo, B), jnp.float32)
+        dma_out(panel, lo, 0, lo, sems.at[0])
+
+
+def cholesky_pallas_batched(K: Array, interpret: bool = False) -> Array:
+    """Batched blocked Cholesky with the pivot chain amortized across
+    the batch (HBM-resident, DMA-streamed panels).  ``K: [nb, n, n]``,
+    n a multiple of 128.  The committee-regime fast path.
+
+    The batch is processed in VMEM-sized chunks: the working set is
+    ~3 chunk·n·B floats (two panel buffers + the TRSM/SYRK temporary),
+    budgeted at ~10 MB of the 16 MB VMEM.
+    """
+    nb, n, _ = K.shape
+    assert n % B == 0 and n >= 2 * B
+    chunk = max(1, min(nb, (10 * 2**20) // (3 * n * B * 4)))
+
+    def call(Kc):
+        nc = Kc.shape[0]
+        kernel = functools.partial(_chol_batched_kernel, nc, n)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nc, n, n), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((nc, n, B), jnp.float32),   # panel
+                pltpu.VMEM((nc, n, B), jnp.float32),   # colbuf
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={0: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(Kc)
+
+    K = K.astype(jnp.float32)
+    if chunk >= nb:
+        return call(K)
+    n_full = (nb // chunk) * chunk
+    parts = [
+        call(K[i : i + chunk]) for i in range(0, n_full, chunk)
+    ]
+    if n_full < nb:
+        parts.append(call(K[n_full:]))
+    return jnp.concatenate(parts, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def cholesky_pallas(K: Array, interpret: bool = False) -> Array:
     """Blocked Cholesky of SPD ``K`` — ``[n, n]`` or batched

@@ -118,3 +118,24 @@ def test_cholesky_pallas_indefinite_nan(rng):
     K = -np.eye(128, dtype=np.float32)
     L = np.asarray(cholesky_pallas(jnp.asarray(K), interpret=True))
     assert np.isnan(L).any()
+
+
+def test_cholesky_pallas_batched_hbm(rng):
+    """HBM-streaming batched variant (pivot chain amortized across the
+    batch) matches the reference factorization, incl. batch chunking."""
+    from pygpr_tpu.ops.pallas_cholesky import cholesky_pallas_batched
+
+    n, nb = 256, 5  # chunking path: chunk size < nb at this n
+    Ks = []
+    for _ in range(nb):
+        A = rng.normal(size=(n, n)).astype(np.float32)
+        Ks.append(A @ A.T + n * np.eye(n, dtype=np.float32))
+    Ks = np.stack(Ks)
+    Lb = np.asarray(
+        cholesky_pallas_batched(jnp.asarray(Ks), interpret=True)
+    )
+    for i in range(nb):
+        np.testing.assert_allclose(
+            Lb[i], np.linalg.cholesky(Ks[i]), atol=5e-3
+        )
+        assert np.allclose(np.triu(Lb[i], 1), 0.0)
