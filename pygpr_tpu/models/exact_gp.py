@@ -77,25 +77,38 @@ def factorize(
     instead (``pygpr_tpu.parallel``).
     """
     if x.ndim == 3:
+        nc = x.shape[0]
+        p_all = (
+            params
+            if params.ndim == 2
+            else jnp.broadcast_to(params, (nc,) + params.shape)
+        )
         if stream:
-            p_b = params.ndim == 2
-            nc = x.shape[0]
-            p_all = (
-                params
-                if p_b
-                else jnp.broadcast_to(params, (nc,) + params.shape)
-            )
             return jax.lax.map(
                 lambda args: _factorize_one(
                     kern, args[0], args[1], args[2], config
                 ),
                 (p_all, x, y),
             )
-        p_ax = 0 if params.ndim == 2 else None
+        if config.use_pallas:
+            # Keep the batch visible (no vmap) so the ladder can route
+            # through the batched Pallas Cholesky.
+            from pygpr_tpu.ops.kernels import train_gram
+
+            grams = jax.vmap(
+                lambda p, xx: train_gram(kern, p, xx, config)
+            )(p_all, x)
+            res = linalg.safe_cholesky(grams, config)
+            w = linalg.cholesky_solve(res.chol, y)
+            return GPState(
+                x, y, p_all, res.chol, w,
+                jnp.broadcast_to(res.jitter, (nc,)),
+                jnp.broadcast_to(res.ok, (nc,)),
+            )
         return jax.vmap(
             lambda p, xx, yy: _factorize_one(kern, p, xx, yy, config),
-            in_axes=(p_ax, 0, 0),
-        )(params, x, y)
+            in_axes=(0, 0, 0),
+        )(p_all, x, y)
     return _factorize_one(kern, params, x, y, config)
 
 

@@ -80,6 +80,25 @@ def nlml(
     return _nlml_one(kern, params, x, y, config)
 
 
+def _nlml_batched_vals(kern, params, x, y, config: Config) -> Array:
+    """Batch-visible committee NLML: grams built under vmap but the
+    Cholesky sees the full ``[nb, n, n]`` stack, so the jitter ladder
+    can route through the batched Pallas kernel (``use_pallas``)."""
+    from pygpr_tpu.ops.kernels import train_gram
+
+    grams = jax.vmap(lambda p, xx: train_gram(kern, p, xx, config))(
+        params, x
+    )
+    L = linalg.safe_cholesky(grams, config).chol
+    z = linalg.solve_lower(L, y)
+    n = y.shape[-1]
+    return (
+        0.5 * jnp.sum(z * z, axis=-1)
+        + linalg.half_logdet_from_chol(L)
+        + 0.5 * n * math.log(2.0 * math.pi)
+    )
+
+
 def nlml_value_and_grad(
     kern: Kernel, params, x, y, config: Config = DEFAULT
 ) -> Tuple[Array, Array]:
@@ -90,6 +109,22 @@ def nlml_value_and_grad(
     (``loss.py:116``).
     """
     if x.ndim == 3:
+        if config.use_pallas:
+            # Batch-visible path: per-expert grads = grad of the sum
+            # (experts are independent), one AD pass over the stack.
+            nc = x.shape[0]
+            p_all = (
+                params
+                if params.ndim == 2
+                else jnp.broadcast_to(params, (nc,) + params.shape)
+            )
+
+            def total(p):
+                vals = _nlml_batched_vals(kern, p, x, y, config)
+                return jnp.sum(vals), vals
+
+            (_, vals), g = jax.value_and_grad(total, has_aux=True)(p_all)
+            return vals, g
         p_ax = 0 if params.ndim == 2 else None
         return jax.vmap(
             lambda p, xx, yy: jax.value_and_grad(

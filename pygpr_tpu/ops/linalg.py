@@ -59,13 +59,25 @@ def _chol_ladder(K: Array, config: Config):
     rungs = config.jitter_rungs
 
     def chol_impl(A):
-        if config.use_pallas and dtype == jnp.float32 and A.shape[-1] <= 1024:
+        n = A.shape[-1]
+        if config.use_pallas and dtype == jnp.float32:
             from pygpr_tpu.ops import pallas_kernels as pk
 
             if pk.on_tpu():
-                from pygpr_tpu.ops.pallas_cholesky import cholesky_pallas
+                if A.ndim == 3 and n % 128 == 0 and n >= 256:
+                    # batched committee path: pivot chains amortized
+                    # across the batch (beats XLA's batched cholesky)
+                    from pygpr_tpu.ops.pallas_cholesky import (
+                        cholesky_pallas_batched,
+                    )
 
-                return cholesky_pallas(A)
+                    return cholesky_pallas_batched(A)
+                if A.ndim == 2 and n <= 1024:
+                    from pygpr_tpu.ops.pallas_cholesky import (
+                        cholesky_pallas,
+                    )
+
+                    return cholesky_pallas(A)
         return lax.linalg.cholesky(A)
 
     def attempt(k):

@@ -93,3 +93,22 @@ def test_mle_wrapper_caches(rng):
     v3, g3 = loss_an.loss_and_grad(p)
     np.testing.assert_allclose(v, v3, rtol=1e-10)
     np.testing.assert_allclose(g, g3, rtol=1e-6, atol=1e-9)
+
+
+def test_batched_vg_pallas_path_equals_default(rng):
+    """use_pallas batch-visible committee value+grad == vmapped default
+    (on CPU the pallas kernels are inactive, but the restructured AD
+    path must be exactly equivalent)."""
+    from pygpr_tpu.config import Config
+
+    nc, n, dim = 3, 30, 2
+    cov = Sum((RBF(), WhiteNoise()))
+    xb = jnp.asarray(rng.uniform(size=(nc, n, dim)))
+    yb = jnp.sin(xb.sum(-1))
+    hp = jnp.asarray(0.5 + rng.uniform(size=(nc, cov.n_params(dim))))
+    v_ref, g_ref = nlml_value_and_grad(cov, hp, xb, yb)
+    v_bat, g_bat = nlml_value_and_grad(
+        cov, hp, xb, yb, Config(use_pallas=True)
+    )
+    np.testing.assert_allclose(np.asarray(v_bat), np.asarray(v_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_bat), np.asarray(g_ref), rtol=1e-8)

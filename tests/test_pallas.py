@@ -139,3 +139,28 @@ def test_cholesky_pallas_batched_hbm(rng):
             Lb[i], np.linalg.cholesky(Ks[i]), atol=5e-3
         )
         assert np.allclose(np.triu(Lb[i], 1), 0.0)
+
+
+def test_factorize_batched_pallas_path(rng, monkeypatch):
+    """use_pallas committee factorize routes through the batched
+    Cholesky (interpret mode) and matches the vmapped default."""
+    from pygpr_tpu.config import Config
+    from pygpr_tpu.models.exact_gp import factorize
+
+    monkeypatch.setattr(pk, "on_tpu", lambda: True)
+    nc, n, dim = 3, 256, 2
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    x = jnp.asarray(rng.uniform(size=(nc, n, dim)), jnp.float32)
+    y = jnp.sin(x.sum(-1))
+    p = jnp.asarray(np.tile([1.0, 1.0, 1.0, 0.1], (nc, 1)), jnp.float32)
+
+    st_ref = factorize(cov, p, x, y)                    # default vmap
+    st_pal = factorize(cov, p, x, y, Config(use_pallas=True))
+    np.testing.assert_allclose(
+        np.asarray(st_pal.chol), np.asarray(st_ref.chol), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_pal.weights), np.asarray(st_ref.weights),
+        atol=1e-2, rtol=1e-3,
+    )
+    assert st_pal.ok.shape == (nc,)
