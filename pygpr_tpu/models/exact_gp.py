@@ -19,7 +19,6 @@ Re-design of the reference model layer (``PyGPR/gpr.py``) for JAX/TPU:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

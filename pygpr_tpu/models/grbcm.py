@@ -39,7 +39,6 @@ import jax.numpy as jnp
 
 from pygpr_tpu.config import DEFAULT, Config
 from pygpr_tpu.models import exact_gp
-from pygpr_tpu.models.likelihood import nlml
 from pygpr_tpu.ops import linalg
 from pygpr_tpu.ops.kernels import Kernel
 

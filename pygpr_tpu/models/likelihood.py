@@ -27,7 +27,6 @@ in the :class:`MLE` wrapper used by the SciPy-driver parity mode.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -36,7 +35,7 @@ import numpy as np
 
 from pygpr_tpu.config import DEFAULT, Config
 from pygpr_tpu.ops import linalg
-from pygpr_tpu.ops.kernels import Kernel, kernel_and_grad
+from pygpr_tpu.ops.kernels import Kernel
 
 Array = jax.Array
 

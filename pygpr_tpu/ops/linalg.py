@@ -16,7 +16,7 @@ indefinite input, which is exactly the signal the ladder needs.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

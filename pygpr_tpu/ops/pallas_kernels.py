@@ -24,9 +24,6 @@ so the custom VJP below runs Pallas forward, JAX backward.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

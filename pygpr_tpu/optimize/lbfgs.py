@@ -14,7 +14,7 @@ the reference's hand-rolled quadratic CG/BFGS.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

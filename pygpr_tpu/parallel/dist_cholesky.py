@@ -24,9 +24,6 @@ step mask-free on the hot path.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

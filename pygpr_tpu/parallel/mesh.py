@@ -9,7 +9,7 @@ aggregation.  The canonical mesh here is 2-D: ``("expert", "chain")``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -20,7 +20,6 @@ reference's own batch-vs-loop tests pin down (``tests/test_gpr.py:60-76``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -31,7 +30,6 @@ from jax import shard_map
 
 from pygpr_tpu.config import DEFAULT, Config
 from pygpr_tpu.models import exact_gp
-from pygpr_tpu.models.grbcm import AggregateResult
 from pygpr_tpu.ops.kernels import Kernel
 from pygpr_tpu.parallel.mesh import CHAIN_AXIS, EXPERT_AXIS
 

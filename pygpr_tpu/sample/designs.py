@@ -30,7 +30,6 @@ Python ``while`` loops.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ around any callable.
 from __future__ import annotations
 
 import contextlib
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator
 
 import jax
 

@@ -10,7 +10,7 @@ JSONL log (SURVEY.md §5.1/§5.5).
 from __future__ import annotations
 
 import json
-from typing import IO, Optional, Sequence
+from typing import IO, Optional
 
 import numpy as np
 

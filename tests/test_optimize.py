@@ -189,3 +189,30 @@ def test_get_learn_rate_host_api(rng):
     loss = MLE(model)
     gamma = get_learn_rate(np.asarray(model.params), loss, eps=1e-5)
     assert np.isfinite(gamma)
+
+
+def test_fit_mle_resumable(rng, tmp_path):
+    """Segmented fit resumes from its checkpoint and lands at (or near)
+    the one-shot optimum."""
+    from pygpr_tpu.optimize import fit_mle_resumable
+
+    cov, x, y = _gp_problem(rng, n=40)
+    p0 = cov.init_params(x)
+    ck = str(tmp_path / "fit.npz")
+
+    res_ref = fit_mle(cov, p0, x, y, max_iter=300, tol=1e-5)
+
+    # run 2 segments, simulate a crash, then resume to completion
+    res_a = fit_mle_resumable(
+        cov, p0, x, y, ck, max_iter=40, segment_iters=20, tol=1e-5
+    )
+    assert os.path.exists(ck)
+    res_b = fit_mle_resumable(
+        cov, p0, x, y, ck, max_iter=300, segment_iters=100, tol=1e-5
+    )
+    assert float(res_b.value) <= float(res_ref.value) + 0.5
+    # resuming again from a converged checkpoint is a no-op-ish call
+    res_c = fit_mle_resumable(
+        cov, p0, x, y, ck, max_iter=300, segment_iters=100, tol=1e-5
+    )
+    assert float(res_c.value) <= float(res_b.value) + 1e-3
