@@ -185,30 +185,59 @@ def fit(
     max_iter: int = 200,
     tol: float = 1e-4,
     log_space: bool = True,
+    shared: bool = False,
 ) -> Tuple[FitInfo, Array, Array]:
     """Working replacement for the reference's broken ``GRBCM.train``
-    (``gr_bcm.py:36-97``): independent per-expert L-BFGS fits on the
-    augmented datasets (vmapped — one XLA program for the whole
-    committee) plus a global-expert fit.
+    (``gr_bcm.py:36-97``): per-expert L-BFGS fits on the augmented
+    datasets (vmapped — one XLA program for the whole committee) plus a
+    global-expert fit.
+
+    ``shared=True`` instead optimizes **one** hyperparameter vector on
+    the summed expert NLML (the grBCM paper's joint training) — this is
+    the calibrated choice: independently fitted experts can disagree
+    wildly on noise levels, and the β-weighted precision combination
+    then overclaims confidence (NLPD blows up even when RMSE is fine).
 
     Returns ``(FitInfo, x_aug, y_aug)``.
     """
-    from pygpr_tpu.optimize.lbfgs import fit_mle  # local import: cycle
+    from pygpr_tpu.optimize.lbfgs import fit_mle, minimize_lbfgs
 
     x_aug, y_aug = augment(xl, yl, xg, yg)
     if params0 is None:
-        params0 = kern.init_params(xg, config)
+        # Neutral all-ones start (θ=1, noise=1): shrinking the noise
+        # downward from the data scale is well-conditioned, while the
+        # kernel layer's parity init (noise 1e-4, covar.py:224) starts
+        # in the near-singular interpolation regime and traps f32 fits.
+        params0 = jnp.ones(
+            (kern.n_params(xg.shape[-1]),), dtype=xg.dtype
+        )
 
     res_g = fit_mle(
         kern, params0, xg, yg,
         config=config, max_iter=max_iter, tol=tol, log_space=log_space,
     )
     nc = xl.shape[0]
-    p0_l = jnp.broadcast_to(params0, (nc,) + params0.shape)
-    res_l = fit_mle(
-        kern, p0_l, x_aug, y_aug,
-        config=config, max_iter=max_iter, tol=tol, log_space=log_space,
-    )
+    if shared:
+        from pygpr_tpu.models.likelihood import nlml as _nlml
+
+        def total(u):
+            q = jnp.exp(u) if log_space else u
+            return jnp.sum(_nlml(kern, q, x_aug, y_aug, config))
+
+        u0 = jnp.log(jnp.abs(params0)) if log_space else params0
+        res_s = minimize_lbfgs(total, u0, max_iter=max_iter, tol=tol)
+        p_shared = jnp.exp(res_s.params) if log_space else res_s.params
+        vals = _nlml(kern, p_shared, x_aug, y_aug, config)
+        res_l = res_s._replace(
+            params=jnp.broadcast_to(p_shared, (nc,) + p_shared.shape),
+            value=vals,
+        )
+    else:
+        p0_l = jnp.broadcast_to(params0, (nc,) + params0.shape)
+        res_l = fit_mle(
+            kern, p0_l, x_aug, y_aug,
+            config=config, max_iter=max_iter, tol=tol, log_space=log_space,
+        )
     ok_l = jnp.all(jnp.isfinite(res_l.params), axis=-1) & jnp.isfinite(
         res_l.value
     )
@@ -248,12 +277,22 @@ class GRBCM:
         self.beta = None
         self.prec = None
 
-    def train(self, max_iter: int = 200, tol: float = 1e-4) -> FitInfo:
-        """Per-expert + global hyperparameter fits (the intended
-        semantics of the reference's broken ``train``, SURVEY.md §2.5)."""
+    def train(
+        self, max_iter: int = 200, tol: float = 1e-4,
+        shared: bool = True,
+    ) -> FitInfo:
+        """Hyperparameter fits (the intended semantics of the
+        reference's broken ``train``, SURVEY.md §2.5).
+
+        ``shared=True`` (default): one hyperparameter vector on the
+        summed expert NLML — the paper's joint training, and the
+        calibrated choice for the β aggregation.  ``shared=False``:
+        independent per-expert fits (the reference loop's structure).
+        """
         info, _, _ = fit(
             self.cov, self.xl, self.yl, self.xg, self.yg,
             config=self.config, max_iter=max_iter, tol=tol,
+            shared=shared,
         )
         self.gpg.set_params(info.params_g)
         self.gpl.set_params(info.params_l)

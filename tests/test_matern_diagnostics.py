@@ -119,3 +119,17 @@ def test_checkify_nlml_flags_nonfinite(rng):
     err, _ = f(bad)
     with pytest.raises(Exception):
         err.throw()
+
+
+def test_metrics(rng):
+    from pygpr_tpu.models.metrics import nlpd, rmse, standardized_mse
+
+    y = jnp.asarray(rng.normal(size=50))
+    assert float(rmse(y, y)) == 0.0
+    # perfectly calibrated Gaussian: nlpd ≈ entropy-rate, smse ≈ 1
+    mean = jnp.zeros(50000)
+    var = jnp.ones(50000) * 4.0
+    draws = jnp.asarray(rng.normal(size=50000) * 2.0)
+    expected = 0.5 * np.log(2 * np.pi * 4.0) + 0.5
+    np.testing.assert_allclose(float(nlpd(draws, mean, var)), expected, rtol=0.02)
+    np.testing.assert_allclose(float(standardized_mse(draws, mean, var)), 1.0, rtol=0.05)
