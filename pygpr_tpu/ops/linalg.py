@@ -64,7 +64,12 @@ def _chol_ladder(K: Array, config: Config):
             from pygpr_tpu.ops import pallas_kernels as pk
 
             if pk.on_tpu():
-                if A.ndim == 3 and n % 128 == 0 and n >= 256:
+                if (
+                    A.ndim == 3
+                    and A.shape[0] >= 2  # amortization needs a real batch
+                    and n % 128 == 0
+                    and n >= 256
+                ):
                     # batched committee path: pivot chains amortized
                     # across the batch (beats XLA's batched cholesky)
                     from pygpr_tpu.ops.pallas_cholesky import (

@@ -113,26 +113,71 @@ def dist_cholesky_solve(
     config: Config = DEFAULT,
 ) -> Array:
     """Solve ``K x = b`` given the row-sharded factor from
-    :func:`dist_cholesky`.
+    :func:`dist_cholesky` — fully distributed block substitution, the
+    factor never leaves its shards.
 
-    v1 strategy: the factor is O(n²) memory — all-gather it per solve
-    and run the two local triangular solves replicated.  This is the
-    right trade at n ≲ 50k (gather is one n²/D-per-link transfer; the
-    solves are latency-bound anyway); a fully distributed block solver
-    is the upgrade path when single-matrix n outgrows one chip's HBM.
+    Forward sweep (L z = b): band k solves its B×B diagonal block
+    against ``b_k − acc_k`` and psum-broadcasts its z-block; every band
+    folds the finished block into its local accumulator with one local
+    matvec (upper-triangle blocks are zero, so no masking needed).
+    Backward sweep (Lᵀ x = z) runs the bands in reverse, broadcasting
+    each owner's ``Llocᵀ x_k`` contribution.  Communication is
+    O(D·(B+n)) per solve vs the O(n²) of gathering the factor.
     """
+    D = mesh.shape[axis]
+    n = L_sharded.shape[-1]
+    B = n // D
 
     def local_fn(Lloc, b):
-        Lfull = lax.all_gather(Lloc, axis).reshape(
-            Lloc.shape[1], Lloc.shape[1]
+        idx = lax.axis_index(axis)
+
+        # ---- forward: L z = b -------------------------------------
+        def fwd(k, carry):
+            z, acc = carry
+            bk = lax.dynamic_slice(b, (k * B,), (B,))
+            Lkk = lax.dynamic_slice(Lloc, (0, k * B), (B, B))
+            zk_loc = lax.linalg.triangular_solve(
+                Lkk, (bk - acc)[:, None], left_side=True, lower=True
+            )[:, 0]
+            zk = lax.psum(
+                jnp.where(idx == k, zk_loc, jnp.zeros_like(zk_loc)), axis
+            )
+            z = lax.dynamic_update_slice(z, zk, (k * B,))
+            # bands ≤ k add a harmless zero/stale term (their block
+            # column is upper-triangle-zero or their acc is done)
+            Lik = lax.dynamic_slice(Lloc, (0, k * B), (B, B))
+            acc = acc + jnp.matmul(Lik, zk, precision=config.precision)
+            return z, acc
+
+        z, _ = lax.fori_loop(
+            0, D, fwd, (jnp.zeros_like(b), jnp.zeros((B,), b.dtype))
         )
-        z = lax.linalg.triangular_solve(
-            Lfull, b[:, None], left_side=True, lower=True
-        )
-        x = lax.linalg.triangular_solve(
-            Lfull, z, left_side=True, lower=True, transpose_a=True
-        )
-        return x[:, 0]
+
+        # ---- backward: Lᵀ x = z -----------------------------------
+        def bwd(i, carry):
+            x, r = carry
+            k = D - 1 - i
+            rk = lax.dynamic_slice(r, (k * B,), (B,))
+            Lkk = lax.dynamic_slice(Lloc, (0, k * B), (B, B))
+            xk_loc = lax.linalg.triangular_solve(
+                Lkk, rk[:, None],
+                left_side=True, lower=True, transpose_a=True,
+            )[:, 0]
+            xk = lax.psum(
+                jnp.where(idx == k, xk_loc, jnp.zeros_like(xk_loc)), axis
+            )
+            x = lax.dynamic_update_slice(x, xk, (k * B,))
+            # subtract band k's Lᵀ contribution from the running rhs
+            contrib_loc = jnp.where(
+                idx == k,
+                jnp.matmul(Lloc.T, xk, precision=config.precision),
+                jnp.zeros((n,), b.dtype),
+            )
+            r = r - lax.psum(contrib_loc, axis)
+            return x, r
+
+        x, _ = lax.fori_loop(0, D, bwd, (jnp.zeros_like(b), z))
+        return x
 
     fn = shard_map(
         local_fn,
