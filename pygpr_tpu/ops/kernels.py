@@ -118,6 +118,23 @@ class Kernel:
         """Diagonal of the train-block kernel, ``[n]``."""
         return jnp.diagonal(self.matrix(params, x, config=config))
 
+    # -- reference-parity method API (covar.py:9-25) ----------------------
+    def get_params_shape(self, x: Array):
+        """Parameter-shape query (reference ``covar.py:15``):
+        ``[*batch, nhp]`` from the sample tensor's shape."""
+        return list(x.shape[:-2]) + [self.n_params(x.shape[-1])]
+
+    def kernel(self, params: Array, x: Array, xp: Optional[Array] = None):
+        """Reference instance API (``covar.py:21``) — batched via the
+        module-level :func:`kernel_matrix`."""
+        return kernel_matrix(self, params, x, xp)
+
+    def kernel_and_grad(self, params: Array, x: Array):
+        """Reference instance API (``covar.py:24``) — returns
+        ``[K, dK]`` with dK layout ``[..., nhp, n, n]``."""
+        krn, dkrn = kernel_and_grad(self, params, x)
+        return [krn, dkrn]
+
     # -- ergonomics -------------------------------------------------------
     def __add__(self, other: "Kernel") -> "Sum":
         a = self.kernels if isinstance(self, Sum) else (self,)

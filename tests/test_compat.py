@@ -72,3 +72,20 @@ def test_reference_style_samplers():
     assert part.shape == (4, 5, 2)
     f = sample_gp(x, Squared_exponential(), jnp.asarray([1.0, 1.0, 1.0]))
     assert f.shape == (20,)
+
+
+def test_reference_kernel_method_api(rng):
+    """cov.get_params_shape / cov.kernel / cov.kernel_and_grad instance
+    methods (reference Covar protocol, covar.py:9-25)."""
+    x = jnp.asarray(rng.uniform(size=(12, 3)))
+    xb = jnp.asarray(rng.uniform(size=(4, 12, 3)))
+    cov = Compose([Squared_exponential(), White_noise()])
+    assert cov.get_params_shape(x) == [5]
+    assert cov.get_params_shape(xb) == [4, 5]
+    hp = jnp.asarray(rng.uniform(size=5))
+    K = cov.kernel(hp, x)
+    assert K.shape == (12, 12)
+    Kx = cov.kernel(hp, x, jnp.asarray(rng.uniform(size=(7, 3))))
+    assert Kx.shape == (7, 12)
+    krn, dkrn = cov.kernel_and_grad(hp, x)
+    assert krn.shape == (12, 12) and dkrn.shape == (5, 12, 12)
