@@ -31,8 +31,8 @@ class CholResult(NamedTuple):
     """Result of a jitter-laddered Cholesky factorization."""
 
     chol: Array      #: lower-triangular factor L, K + jitter·I = L Lᵀ
-    jitter: Array    #: jitter actually used (scalar, same dtype as K)
-    ok: Array        #: scalar 1.0/0.0 — whether any rung succeeded
+    jitter: Array    #: jitter actually used — PER MATRIX (batch-shaped)
+    ok: Array        #: 1.0/0.0 per matrix — whether any rung succeeded
 
 
 def add_diag(K: Array, eps) -> Array:
@@ -85,33 +85,41 @@ def _chol_ladder(K: Array, config: Config):
                     return cholesky_pallas(A)
         return lax.linalg.cholesky(A)
 
+    # Ladder state is PER MATRIX: an explicitly batched call ([nb, n, n]
+    # — the batch-visible Pallas path) escalates each matrix on its own
+    # rung, exactly like the vmapped path, so one sick expert cannot
+    # inflate every expert's jitter.
+    bshape = K.shape[:-2]
+
     def attempt(k):
-        jit_k = base * (10.0**k).astype(dtype)
-        L = chol_impl(add_diag(K, jit_k))
-        ok = jnp.all(jnp.isfinite(L))
+        # k: [*bshape] per-matrix rung indices (float, same dtype as K)
+        jit_k = base * (10.0**k)
+        L = chol_impl(add_diag(K, jit_k[..., None]))
+        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
         return L, jit_k, ok
 
-    L0, j0, ok0 = attempt(jnp.asarray(0, dtype))
+    k0 = jnp.zeros(bshape, dtype)
+    L0, j0, ok0 = attempt(k0)
 
     def cond(state):
         k, _, _, ok = state
-        return jnp.logical_and(~ok, k < rungs - 1)
+        return jnp.any(jnp.logical_and(~ok, k < rungs - 1))
 
     def body(state):
         k, L, j, ok = state
-        # Under vmap the body runs while ANY element is unconverged;
-        # keep converged elements untouched instead of re-escalating.
-        L2, j2, ok2 = attempt((k + 1).astype(dtype))
+        # Runs while ANY matrix is unconverged; converged matrices keep
+        # their rung and factor untouched instead of re-escalating.
+        k2 = jnp.where(ok, k, k + 1.0)
+        L2, j2, ok2 = attempt(k2)
+        keep = ok[..., None, None]
         return (
-            jnp.where(ok, k, k + 1),
-            jnp.where(ok, L, L2),
+            k2,
+            jnp.where(keep, L, L2),
             jnp.where(ok, j, j2),
             jnp.logical_or(ok, ok2),
         )
 
-    _, L, j, ok = lax.while_loop(
-        cond, body, (jnp.asarray(0, dtype), L0, j0, ok0)
-    )
+    _, L, j, ok = lax.while_loop(cond, body, (k0, L0, j0, ok0))
     return L, j, ok.astype(dtype)
 
 

@@ -110,3 +110,40 @@ def test_jitter_ladder_rescues_singular_kernel(rng):
     assert np.all(np.isfinite(np.asarray(state.chol)))
     mean, var = predict(cov, state, x1, var="diag")
     assert np.all(np.isfinite(np.asarray(mean)))
+
+
+def test_batched_jitter_ladder_per_matrix(rng):
+    """One sick matrix in an explicitly batched stack must not inflate
+    the healthy matrices' jitter: the ladder state is per matrix, so the
+    batch-visible (use_pallas committee) path bit-matches the vmapped
+    path on healthy experts."""
+    import jax
+
+    from pygpr_tpu.config import Config
+    from pygpr_tpu.ops.linalg import safe_cholesky
+
+    cfg = Config()
+    n = 16
+    healthy = np.stack(
+        [np.eye(n) + 0.1 * np.ones((n, n)) for _ in range(3)]
+    )
+    sick = np.eye(n)
+    sick[0, 0] = -5e-7  # fails at base jitter 1e-7, passes at 1e-5
+    K = jnp.asarray(np.concatenate([healthy, sick[None]], axis=0))
+
+    res = safe_cholesky(K, cfg)  # batch-visible [4, n, n] call
+    assert res.jitter.shape == (4,)
+    assert res.ok.shape == (4,)
+    assert np.asarray(res.ok).all()
+    # healthy matrices stay on the base rung; the sick one escalated
+    np.testing.assert_allclose(np.asarray(res.jitter[:3]), cfg.jitter)
+    assert float(res.jitter[3]) > cfg.jitter * 1.5
+
+    # bit-match against the vmapped (per-matrix) path on healthy experts
+    res_v = jax.vmap(lambda k: safe_cholesky(k, cfg))(K)
+    np.testing.assert_array_equal(
+        np.asarray(res.chol[:3]), np.asarray(res_v.chol[:3])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.jitter), np.asarray(res_v.jitter)
+    )
