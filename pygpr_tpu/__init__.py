@@ -32,6 +32,7 @@ from pygpr_tpu.ops.linalg import (
     spd_solve,
 )
 from pygpr_tpu.models.exact_gp import (
+    GPR,
     ExactGP,
     GPState,
     factorize,

@@ -17,7 +17,7 @@ see PARITY.md (``GRBCM.train``, ``log_likelihood_batched``,
 
 from pygpr_tpu.interop.sklearn import SK_WRAP
 from pygpr_tpu.models.exact_gp import ExactGP as Exact_GP
-from pygpr_tpu.models.exact_gp import ExactGP as GPR  # base-usable alias
+from pygpr_tpu.models.exact_gp import GPR  # abstract base (gpr.py:13-43)
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.likelihood import MLE, Loss, log_likelihood_batched
 from pygpr_tpu.ops.kernels import Kernel as Covar

@@ -1,4 +1,5 @@
 from pygpr_tpu.models.exact_gp import (
+    GPR,
     ExactGP,
     GPState,
     factorize,

@@ -194,7 +194,42 @@ def fit_predict(
     return predict(kern, state, xp, var, config)
 
 
-class ExactGP:
+class GPR:
+    """Abstract GP-regression base, the reference's subclassable
+    extension point (``GPR``, ``gpr.py:13-43``): holds ``x``/``y``/
+    ``cov``/``params`` plus the ``need_upd`` dirty flag, with
+    ``set_params`` replacing the parameters and marking the model dirty
+    (``gpr.py:28-31``); ``update``/``predict``/``predict_var``/
+    ``predict_covar`` are the abstract contract subclasses implement.
+    """
+
+    def __init__(self, x, y, cov: Kernel):
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(y)
+        self.cov = cov
+        self.params = NotImplemented
+        self.need_upd: bool = True
+
+    def set_params(self, params) -> None:
+        """Reference ``set_params`` (``gpr.py:28-31``): replace + dirty.
+        (JAX arrays are immutable, so no clone is needed.)"""
+        self.params = jnp.asarray(params)
+        self.need_upd = True
+
+    def update(self) -> None:
+        raise NotImplementedError
+
+    def predict(self, xp, var: str = "full"):
+        raise NotImplementedError
+
+    def predict_var(self, xp, **kwargs):
+        raise NotImplementedError
+
+    def predict_covar(self, xp, **kwargs):
+        raise NotImplementedError
+
+
+class ExactGP(GPR):
     """Thin stateful wrapper mirroring the reference API
     (``Exact_GP``, ``gpr.py:46-120``): lazy ``update`` guarded by a
     dirty flag (``gpr.py:65``), ``predict(xp, var=...)`` returning
@@ -208,19 +243,11 @@ class ExactGP:
         self, x, y, cov: Kernel, config: Config = DEFAULT,
         stream: bool = False,
     ):
-        self.x = jnp.asarray(x)
-        self.y = jnp.asarray(y)
-        self.cov = cov
+        super().__init__(x, y, cov)
         self.config = config
         self.stream = stream
         self.params = cov.init_params(self.x, config)
         self.state: Optional[GPState] = None
-        self.need_upd = True
-
-    def set_params(self, params) -> None:
-        """Reference ``set_params`` (``gpr.py:28-31``): replace + dirty."""
-        self.params = jnp.asarray(params)
-        self.need_upd = True
 
     def set_data(self, x, y) -> None:
         self.x = jnp.asarray(x)
@@ -242,3 +269,21 @@ class ExactGP:
             stream=self.stream,
         )
         return [mean, cov]
+
+    def predict_var(self, xp, **kwargs):
+        """Diagonal predictive variance (``gpr.py:96-106``)."""
+        self.update()
+        _, var = predict(
+            self.cov, self.state, jnp.asarray(xp), "diag", self.config,
+            stream=self.stream,
+        )
+        return var
+
+    def predict_covar(self, xp, **kwargs):
+        """Full predictive covariance (``gpr.py:108-120``)."""
+        self.update()
+        _, covars = predict(
+            self.cov, self.state, jnp.asarray(xp), "full", self.config,
+            stream=self.stream,
+        )
+        return covars

@@ -3,6 +3,7 @@ namespace (``PyGPR/__init__.py:1-7``) imports and works."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pygpr_tpu.compat import (
     CG,
@@ -89,3 +90,59 @@ def test_reference_kernel_method_api(rng):
     assert Kx.shape == (7, 12)
     krn, dkrn = cov.kernel_and_grad(hp, x)
     assert krn.shape == (12, 12) and dkrn.shape == (5, 12, 12)
+
+
+def test_gpr_base_subclassable(rng):
+    """The reference GPR base (gpr.py:13-43) is a subclassable
+    extension point: a user model overriding update/predict must get
+    the base's state + dirty-flag contract, and Exact_GP must be a
+    GPR subclass."""
+    from pygpr_tpu.compat import GPR, Exact_GP
+
+    assert issubclass(Exact_GP, GPR)
+    assert GPR is not Exact_GP
+
+    class MeanOnly(GPR):
+        def update(self):
+            self.mean_y = float(jnp.mean(self.y))
+            self.need_upd = False
+
+        def predict(self, xp, var="none"):
+            if self.need_upd:
+                self.update()
+            return [jnp.full(xp.shape[0], self.mean_y), None]
+
+    x = jnp.asarray(rng.uniform(size=(10, 2)))
+    y = jnp.asarray(rng.normal(size=10))
+    m = MeanOnly(x, y, Squared_exponential())
+    assert m.need_upd and m.params is NotImplemented
+    ys, _ = m.predict(x[:4])
+    assert not m.need_upd
+    np.testing.assert_allclose(np.asarray(ys), float(np.mean(np.asarray(y))))
+    m.set_params(jnp.ones(3))     # replace + dirty (gpr.py:28-31)
+    assert m.need_upd and m.params.shape == (3,)
+
+    # abstract contract raises on the base
+    base = GPR(x, y, Squared_exponential())
+    for call in (base.update, lambda: base.predict(x),
+                 lambda: base.predict_var(x), lambda: base.predict_covar(x)):
+        with pytest.raises(NotImplementedError):
+            call()
+
+
+def test_exact_gp_predict_var_covar_methods(rng):
+    """Exact_GP.predict_var / predict_covar (gpr.py:96-120)."""
+    x = jnp.asarray(rng.uniform(size=(20, 2)))
+    y = jnp.sin(x.sum(-1))
+    gp = Exact_GP(x, y, Compose([Squared_exponential(), White_noise()]))
+    xs = jnp.asarray(rng.uniform(size=(6, 2)))
+    var = gp.predict_var(xs)
+    covars = gp.predict_covar(xs)
+    assert var.shape == (6,) and covars.shape == (6, 6)
+    # the diag path applies the predictive-variance jitter floor
+    # (exact_gp._predict_var_one, documented deviation in PARITY.md)
+    np.testing.assert_allclose(
+        np.asarray(var),
+        np.maximum(np.diagonal(np.asarray(covars)), 1e-7),
+        rtol=1e-6, atol=1e-9,
+    )
