@@ -230,6 +230,31 @@ def dist_gram(
     )(x, x)
 
 
+def _dist_add_diag(
+    gram: Array, extra: Array, mesh: Mesh, axis: str
+) -> Array:
+    """Add a scalar to the diagonal of a row-sharded gram **in shards**
+    — no replicated n×n identity is ever materialized (this module
+    exists for the doesn't-fit-one-chip regime)."""
+    D = mesh.shape[axis]
+    n = gram.shape[-1]
+    B = n // D
+
+    def add_fn(Aloc, extra):
+        idx = lax.axis_index(axis)
+        rows = idx * B + jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        return jnp.where(rows == cols, Aloc + extra, Aloc)
+
+    return shard_map(
+        add_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(gram, extra)
+
+
 def dist_cholesky_laddered(
     gram: Array,
     mesh: Mesh,
@@ -242,16 +267,19 @@ def dist_cholesky_laddered(
     ``gram`` already carries the base jitter; on a non-finite factor the
     whole distributed factorization retries with an extra
     ``jitter·(10^k − 1)`` on the diagonal (so rung k totals
-    ``jitter·10^k``, matching ``ops.linalg.safe_cholesky``).
+    ``jitter·10^k``, matching ``ops.linalg.safe_cholesky``).  The
+    escalation adds the scalar to each shard's local diagonal — no
+    replicated identity.
     """
-    n = gram.shape[-1]
     dtype = gram.dtype
     base = jnp.asarray(config.jitter, dtype)
-    eye = jnp.eye(n, dtype=dtype)
 
     def attempt(k):
         extra = base * ((10.0**k).astype(dtype) - 1.0)
-        L = dist_cholesky(gram + extra * eye, mesh, axis=axis, config=config)
+        L = dist_cholesky(
+            _dist_add_diag(gram, extra, mesh, axis),
+            mesh, axis=axis, config=config,
+        )
         return L, jnp.all(jnp.isfinite(L))
 
     L0, ok0 = attempt(jnp.asarray(0, dtype))
@@ -269,19 +297,81 @@ def dist_cholesky_laddered(
     return L
 
 
-def dist_nlml(
-    kern,
-    params: Array,
-    x: Array,
-    y: Array,
+def dist_cholesky_solve_cols(
+    L_sharded: Array,
     mesh: Mesh,
     *,
     axis: str = EXPERT_AXIS,
     config: Config = DEFAULT,
 ) -> Array:
-    """NLML of one large expert with the gram build AND factorization
-    distributed over ``axis`` (the "model-parallel" GP path): reference
-    formula ``loss.py:49-51`` with a psum-reduced log-det."""
+    """K⁻¹ from the row-sharded factor, returned **column-sharded**
+    (``P(None, axis)``) — each device solves ``K X = I[:, band]`` for
+    its own B identity columns, so the O(n³) inverse is spread evenly
+    over the mesh and no device ever holds more than an [n, B] slab.
+
+    Forward sweep (L Z = E): per panel k the column block of L
+    (each band's local [B, B] slice) is ``all_gather``-ed — O(n·B)
+    per step, O(n²) total — every device then runs one local
+    triangular solve + one [n,B]×[B,B] GEMM on its own RHS slab.
+    Backward sweep (Lᵀ X = Z): band k's rows are psum-broadcast from
+    their owner and applied transposed.  Per-device compute is
+    O(n²·B) = O(n³/D); this is the building block for the distributed
+    NLML gradient (tr(K⁻¹ ∂K) needs K⁻¹ elementwise).
+    """
+    D = mesh.shape[axis]
+    n = L_sharded.shape[-1]
+    B = n // D
+
+    def local_fn(Lloc):
+        idx = lax.axis_index(axis)
+        # this device's RHS slab: identity columns of its band
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+        cols = idx * B + jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
+        E = (rows == cols).astype(Lloc.dtype)                # [n, B]
+
+        # ---- forward: L Z = E -------------------------------------
+        def fwd(k, R):
+            Lblk = lax.dynamic_slice(Lloc, (0, k * B), (B, B))
+            colk = lax.all_gather(Lblk, axis).reshape(n, B)  # [n, B]
+            Lkk = lax.dynamic_slice(colk, (k * B, 0), (B, B))
+            Rk = lax.dynamic_slice(R, (k * B, 0), (B, B))
+            zk = lax.linalg.triangular_solve(
+                Lkk, Rk, left_side=True, lower=True
+            )
+            # one update: clears rows of band k and eliminates the
+            # trailing rows (rows above k·B multiply zero blocks)
+            R = R - jnp.matmul(colk, zk, precision=config.precision)
+            return lax.dynamic_update_slice(R, zk, (k * B, 0))
+
+        Z = lax.fori_loop(0, D, fwd, E)
+
+        # ---- backward: Lᵀ X = Z -----------------------------------
+        def bwd(i, R):
+            k = D - 1 - i
+            band = lax.psum(
+                jnp.where(idx == k, Lloc, jnp.zeros_like(Lloc)), axis
+            )                                                # [B, n]
+            Lkk = lax.dynamic_slice(band, (0, k * B), (B, B))
+            Rk = lax.dynamic_slice(R, (k * B, 0), (B, B))
+            xk = lax.linalg.triangular_solve(
+                Lkk, Rk, left_side=True, lower=True, transpose_a=True
+            )
+            R = R - jnp.matmul(band.T, xk, precision=config.precision)
+            return lax.dynamic_update_slice(R, xk, (k * B, 0))
+
+        return lax.fori_loop(0, D, bwd, Z)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return fn(L_sharded)
+
+
+def _dist_nlml_value(kern, params, x, y, mesh, axis, config):
     import math
 
     D = mesh.shape[axis]
@@ -307,8 +397,102 @@ def dist_nlml(
         check_vma=False,
     )(L)
 
-    return (
+    value = (
         0.5 * jnp.dot(w, y)
         + half_logdet
         + 0.5 * n * math.log(2.0 * math.pi)
     )
+    return value, L, w
+
+
+def _dist_nlml_grad(kern, params, x, y, L, w, mesh, axis, config):
+    """Distributed analytic NLML gradient (reference closed form
+    ``loss.py:84``): ∂/∂θₖ = −½ (wᵀ(∂K/∂θₖ)w − tr(K⁻¹ ∂K/∂θₖ)).
+
+    ∂K/∂θ is built row-sharded by forward-mode AD of the band's gram
+    rows (kernel-agnostic, nhp passes); K⁻¹ comes column-sharded from
+    :func:`dist_cholesky_solve_cols`; both trace terms reduce with one
+    psum each.  Everything a device touches is an [n, B]/[B, n] slab.
+    """
+    D = mesh.shape[axis]
+    n = x.shape[0]
+    B = n // D
+
+    def band_gram(p, xb, x_full, idx):
+        Kb = kern.matrix(p, x_full, xb, config=config)        # [B, n]
+        dvals = kern.diag(p, xb, config=config)
+        rows = idx * B + jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        jit = jnp.asarray(config.jitter, Kb.dtype)
+        return jnp.where(rows == cols, dvals[:, None] + jit, Kb)
+
+    def local_fn(Kinv_cols, xb, x_full, w, p):
+        idx = lax.axis_index(axis)
+        # dK rows of this band: [nhp, B, n] via jacfwd over params
+        dK = jax.jacfwd(
+            lambda q: band_gram(q, xb, x_full, idx)
+        )(p)                                                  # [B, n, nhp]
+        dK = jnp.moveaxis(dK, -1, 0)                          # [nhp, B, n]
+
+        wb = lax.dynamic_slice(w, (idx * B,), (B,))
+        # tr1ₖ = wᵀ dKₖ w  (this band's rows, psum over bands)
+        tr1 = lax.psum(
+            jnp.einsum("i,kij,j->k", wb, dK, w), axis
+        )
+        # tr2ₖ = Σᵢⱼ (K⁻¹)ᵢⱼ (dKₖ)ᵢⱼ: device holds K⁻¹[:, band]
+        # ([n, B]) and its band's dK rows; by symmetry
+        # dKₖ[:, band] = dKₖ[band, :]ᵀ.
+        tr2 = lax.psum(
+            jnp.einsum("ij,kji->k", Kinv_cols, dK), axis
+        )
+        return -0.5 * (tr1 - tr2)
+
+    Kinv = dist_cholesky_solve_cols(L, mesh, axis=axis, config=config)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(Kinv, x, x, w, params)
+
+
+def dist_nlml(
+    kern,
+    params: Array,
+    x: Array,
+    y: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+) -> Array:
+    """NLML of one large expert with the gram build AND factorization
+    distributed over ``axis`` (the "model-parallel" GP path): reference
+    formula ``loss.py:49-51`` with a psum-reduced log-det.
+
+    **Differentiable in ``params``** via a custom VJP that evaluates the
+    reference's analytic gradient (``loss.py:84``) with distributed
+    solves (:func:`dist_cholesky_solve_cols`) — reverse-mode AD cannot
+    see through the laddered ``while_loop``, and the analytic form keeps
+    every per-device buffer at [n, B].  The chosen jitter rung is
+    treated as locally constant, matching ``ops.linalg.safe_cholesky``.
+    """
+
+    @jax.custom_vjp
+    def f(p):
+        value, _, _ = _dist_nlml_value(kern, p, x, y, mesh, axis, config)
+        return value
+
+    def f_fwd(p):
+        value, L, w = _dist_nlml_value(kern, p, x, y, mesh, axis, config)
+        return value, (p, L, w)
+
+    def f_bwd(res, g):
+        p, L, w = res
+        grad = _dist_nlml_grad(kern, p, x, y, L, w, mesh, axis, config)
+        return (g * grad,)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(params)

@@ -47,14 +47,18 @@ def grbcm_predict_sharded(
     xs: Array,
     mesh: Mesh,
     *,
+    var: str = "diag",
     mask: Optional[Array] = None,
     config: Config = DEFAULT,
 ) -> Tuple[Array, Array]:
-    """grBCM diagonal-variance prediction with experts sharded over the
-    mesh's ``"expert"`` axis.
+    """grBCM prediction with experts sharded over the mesh's
+    ``"expert"`` axis.
 
     Inputs: ``params_l/x_aug/y_aug`` lead with nc (sharded); ``xg/yg/xs``
-    replicated.  Returns aggregated ``(mean [np], var [np])``.
+    replicated.  Returns aggregated ``(mean [np], var [np])`` for
+    ``var="diag"`` or ``(mean [np], covar [np, np])`` for
+    ``var="full"`` (the reference's ``aggregate_full_covar``,
+    ``gr_bcm.py:99-114``, as a psum of β-weighted precision matrices).
 
     The math mirrors ``models.grbcm.aggregate`` exactly, with the three
     expert sums turned into ``psum`` collectives; the communication
@@ -68,11 +72,24 @@ def grbcm_predict_sharded(
     def local_fn(p_l, xa, ya, m, xg, yg, xs):
         # --- local experts (this device's shard) --------------------
         state_l = exact_gp.factorize(kern, p_l, xa, ya, config)
-        ys_l, var_l = exact_gp.predict(kern, state_l, xs, "diag", config)
+        ys_l, cov_l = exact_gp.predict(kern, state_l, xs, var, config)
 
         # --- global expert (replicated work) ------------------------
         state_g = exact_gp.factorize(kern, params_g, xg, yg, config)
-        ys_g, var_g = exact_gp.predict(kern, state_g, xs, "diag", config)
+        ys_g, cov_g = exact_gp.predict(kern, state_g, xs, var, config)
+
+        if var == "diag":
+            var_g, var_l = cov_g, cov_l
+        else:
+            # match models.grbcm.predict: β uses the jitter-floored
+            # diagonals so both modes agree on the weights
+            floor = jnp.asarray(config.jitter, cov_g.dtype)
+            var_g = jnp.maximum(
+                jnp.diagonal(cov_g, axis1=-2, axis2=-1), floor
+            )
+            var_l = jnp.maximum(
+                jnp.diagonal(cov_l, axis1=-2, axis2=-1), floor
+            )
 
         prec_g = 1.0 / var_g                       # [np]
         prec_l = 1.0 / var_l                       # [nc_loc, np]
@@ -97,7 +114,35 @@ def grbcm_predict_sharded(
         denom = beta_0 * prec_g + s_prec
         covar = 1.0 / denom
         mean = covar * (beta_0 * prec_g * ys_g + s_mu)
-        return mean, covar
+        if var == "diag":
+            return mean, covar
+
+        # --- full-covariance aggregation (gr_bcm.py:99-114) ---------
+        # Each expert's posterior covariance inverts locally; the
+        # ½(βᵢ+βⱼ)-weighted precision matrices psum over the expert
+        # axis; the global expert's term is added replicated (identical
+        # on every shard, so it enters the sum exactly once).
+        from pygpr_tpu.ops import linalg
+
+        chd_l = jax.vmap(
+            lambda c: linalg.safe_cholesky(c, config).chol
+        )(cov_l)
+        prec_mat_l = jax.vmap(linalg.inv_from_chol)(chd_l)
+        beta_sym_l = 0.5 * (
+            beta_l[:, :, None] + beta_l[:, None, :]
+        )                                           # [nc_loc, np, np]
+        S = lax.psum(
+            jnp.sum(beta_sym_l * prec_mat_l, axis=0), EXPERT_AXIS
+        )
+        prec_mat_g = linalg.inv_from_chol(
+            linalg.safe_cholesky(cov_g, config).chol
+        )
+        beta0_sym = 0.5 * (beta_0[:, None] + beta_0[None, :])
+        P_total = S + beta0_sym * prec_mat_g
+        cov_full = linalg.inv_from_chol(
+            linalg.safe_cholesky(P_total, config).chol
+        )
+        return mean, cov_full
 
     fn = shard_map(
         local_fn,
@@ -130,25 +175,80 @@ def grbcm_fit_sharded(
     max_iter: int = 200,
     tol: float = 1e-4,
     log_space: bool = True,
+    shared: bool = True,
 ) -> Tuple[Array, Array, Array, Array]:
-    """Per-expert L-BFGS fits sharded over the ``"expert"`` axis + a
-    replicated global fit.  No collectives — the fits are independent
-    (the reference's per-expert loop intent, ``gr_bcm.py:58-66``).
+    """Committee hyperparameter fits sharded over the ``"expert"``
+    axis + a replicated global fit.
 
-    Returns ``(params_g, params_l [nc, nhp], nlml_g, nlml_l [nc])``.
+    ``shared=True`` (default — the calibrated mode, matching
+    ``models.grbcm.fit(shared=True)``): ONE hyperparameter vector is
+    optimized on the **joint** committee NLML.  Each device sums the
+    NLML of its local experts and the total objective (value and, via
+    AD transposition, gradient) is a ``lax.psum`` over the expert axis
+    inside ``shard_map`` — the parameters stay replicated, so every
+    device runs the identical L-BFGS trajectory on the globally-reduced
+    objective (the grBCM paper's joint training, intent of the
+    reference's broken loop ``gr_bcm.py:58-74``).  Independent
+    per-expert fits (``shared=False``) make the β-precision
+    aggregation badly overconfident (see ``models/grbcm.py``).
+
+    ``shared=False``: independent per-expert L-BFGS fits, no
+    collectives (the reference loop's literal structure).
+
+    Returns ``(params_g, params_l [nc, nhp], nlml_g, nlml_l [nc])``;
+    for ``shared=True`` the rows of ``params_l`` are identical and
+    ``nlml_l`` holds each expert's NLML at the shared optimum.
     """
-    from pygpr_tpu.optimize.lbfgs import fit_mle
+    from pygpr_tpu.models.likelihood import nlml as _nlml
+    from pygpr_tpu.optimize.lbfgs import fit_mle, minimize_lbfgs
 
     nc = x_aug.shape[0]
     p0_l = jnp.broadcast_to(params0, (nc,) + params0.shape)
 
     def local_fn(p0_l, xa, ya, xg, yg):
-        res_l = fit_mle(
-            kern, p0_l, xa, ya,
-            config=config, max_iter=max_iter, tol=tol, log_space=log_space,
-        )
         res_g = fit_mle(
             kern, params0, xg, yg,
+            config=config, max_iter=max_iter, tol=tol, log_space=log_space,
+        )
+        if shared:
+            def local_val(u):
+                q = jnp.exp(u) if log_space else u
+                return jnp.sum(_nlml(kern, q, xa, ya, config))
+
+            # The joint objective must expose a GLOBALLY-reduced
+            # gradient to plain ``jax.value_and_grad`` (optax's zoom
+            # line search differentiates value_fn itself): inside
+            # shard_map the transpose of psum is identity, so a naive
+            # ``psum(local)`` objective would hand every device only
+            # its LOCAL gradient — devices would then run divergent
+            # L-BFGS trajectories and deadlock on mismatched
+            # collective counts.  custom_vjp psums both directions.
+            @jax.custom_vjp
+            def total(u):
+                return lax.psum(local_val(u), EXPERT_AXIS)
+
+            def _total_fwd(u):
+                return lax.psum(local_val(u), EXPERT_AXIS), u
+
+            def _total_bwd(u, g):
+                _, vjp = jax.vjp(local_val, u)
+                (gu,) = vjp(g)
+                return (lax.psum(gu, EXPERT_AXIS),)
+
+            total.defvjp(_total_fwd, _total_bwd)
+
+            u0 = jnp.log(jnp.abs(params0)) if log_space else params0
+            res_s = minimize_lbfgs(total, u0, max_iter=max_iter, tol=tol)
+            p_shared = (
+                jnp.exp(res_s.params) if log_space else res_s.params
+            )
+            vals = _nlml(kern, p_shared, xa, ya, config)   # [nc_loc]
+            p_l = jnp.broadcast_to(
+                p_shared, (xa.shape[0],) + p_shared.shape
+            )
+            return res_g.params, p_l, res_g.value, vals
+        res_l = fit_mle(
+            kern, p0_l, xa, ya,
             config=config, max_iter=max_iter, tol=tol, log_space=log_space,
         )
         return res_g.params, res_l.params, res_g.value, res_l.value

@@ -95,7 +95,7 @@ def test_sharded_fit_equals_batched(rng):
 
     mesh = make_mesh(n_expert=8)
     params_g, params_l, nlml_g, nlml_l = grbcm_fit_sharded(
-        cov, p0, xg, yg, x_aug, y_aug, mesh, max_iter=40
+        cov, p0, xg, yg, x_aug, y_aug, mesh, max_iter=40, shared=False
     )
     assert params_l.shape == (8, 4)
     # Trajectories are FP-sensitive (40 line-searched iterations under
@@ -105,6 +105,71 @@ def test_sharded_fit_equals_batched(rng):
     )
     np.testing.assert_allclose(
         np.asarray(params_l), np.asarray(res_ref.params), rtol=2e-2, atol=5e-3
+    )
+
+
+def test_sharded_shared_fit_equals_single_host(rng):
+    """The calibrated training mode on the mesh: ONE hyperparameter
+    vector optimized on the psum-summed joint committee NLML must reach
+    the same optimum as the single-host shared fit
+    (``models.grbcm.fit(shared=True)``)."""
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    xl, yl, xg, yg = _committee(rng, nc=8, n=16)
+    yl = yl + 0.05 * jnp.asarray(rng.normal(size=yl.shape))
+    x_aug, y_aug = grbcm.augment(xl, yl, xg, yg)
+    p0 = jnp.ones((cov.n_params(xg.shape[-1]),), xg.dtype)
+
+    info_ref, _, _ = grbcm.fit(
+        cov, xl, yl, xg, yg, params0=p0, max_iter=60, shared=True
+    )
+
+    mesh = make_mesh(n_expert=8)
+    params_g, params_l, nlml_g, nlml_l = grbcm_fit_sharded(
+        cov, p0, xg, yg, x_aug, y_aug, mesh, max_iter=60, shared=True
+    )
+    # all expert rows carry the same shared vector (up to last-bit
+    # rank variation of the CPU in-process all-reduce; on TPU the
+    # collective is bitwise rank-identical)
+    np.testing.assert_allclose(
+        np.asarray(params_l),
+        np.broadcast_to(np.asarray(params_l[0]), (8, 4)),
+        rtol=1e-9,
+    )
+    # same optimum as the single-host joint fit (value is the tight
+    # check; params can wander along flat directions)
+    np.testing.assert_allclose(
+        np.asarray(nlml_l), np.asarray(info_ref.nlml_l), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params_l), np.asarray(info_ref.params_l),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params_g), np.asarray(info_ref.params_g), rtol=1e-6
+    )
+
+
+def test_sharded_predict_full_covar(rng):
+    """Sharded full-covariance aggregation (psum of β-weighted
+    precision matrices) == single-host ``aggregate_full_covar``."""
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    xl, yl, xg, yg = _committee(rng)
+    model = grbcm.GRBCM(xl, yl, xg, yg, cov)
+    xs = jnp.asarray(rng.uniform(size=(7, 2)))
+    mean_ref, cov_ref = model.predict(xs, var="full")
+
+    mesh = make_mesh(n_expert=8)
+    x_aug, y_aug = grbcm.augment(xl, yl, xg, yg)
+    mean_sh, cov_sh = grbcm_predict_sharded(
+        cov, model.gpg.params, model.gpl.params,
+        xg, yg, x_aug, y_aug, xs, mesh, var="full",
+    )
+    assert cov_sh.shape == (7, 7)
+    np.testing.assert_allclose(
+        np.asarray(mean_sh), np.asarray(mean_ref), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_sh), np.asarray(cov_ref), rtol=1e-8, atol=1e-12
     )
 
 
@@ -200,3 +265,43 @@ def test_dist_nlml_ladder_rescues_singular(rng):
     mesh = make_mesh(n_expert=8)
     v = float(dist_nlml(gp.RBF(), jnp.ones(3), x, y, mesh))
     assert np.isfinite(v)
+
+
+def test_dist_cholesky_solve_cols_gives_inverse(rng):
+    from pygpr_tpu.parallel.dist_cholesky import (
+        dist_cholesky,
+        dist_cholesky_solve_cols,
+    )
+
+    n = 128
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    mesh = make_mesh(n_expert=8)
+    L = dist_cholesky(K, mesh)
+    Kinv = np.asarray(dist_cholesky_solve_cols(L, mesh))
+    np.testing.assert_allclose(
+        Kinv, np.linalg.inv(np.asarray(K)), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_dist_nlml_gradient_matches_ad(rng):
+    """The distributed NLML is differentiable: its custom-VJP analytic
+    gradient (distributed solves, loss.py:84 closed form) must match
+    reverse-mode AD through the single-device NLML."""
+    from pygpr_tpu.models.likelihood import nlml
+    from pygpr_tpu.parallel.dist_cholesky import dist_nlml
+
+    n, dim = 128, 2
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    x = jnp.asarray(rng.uniform(size=(n, dim)))
+    y = jnp.sin(x.sum(-1)) + 0.05 * jnp.asarray(rng.normal(size=n))
+    p = jnp.asarray([1.2, 0.8, 1.1, 0.3])
+    mesh = make_mesh(n_expert=8)
+
+    g_dist = np.asarray(
+        jax.grad(lambda q: dist_nlml(cov, q, x, y, mesh))(p)
+    )
+    v_dist = float(dist_nlml(cov, p, x, y, mesh))
+    v_ref, g_ref = jax.value_and_grad(lambda q: nlml(cov, q, x, y))(p)
+    np.testing.assert_allclose(v_dist, float(v_ref), rtol=1e-10)
+    np.testing.assert_allclose(g_dist, np.asarray(g_ref), rtol=1e-7)
