@@ -52,6 +52,17 @@ class Config:
     #: off; flip on for long-running production fits on real TPU hosts.
     use_pallas: bool = False
 
+    #: Hyperparameter-gradient strategy for the NLML:
+    #:   "fast" (default) — closed-form gradient with ZERO triangular
+    #:     solves: L⁻¹ is built by MXU block doubling
+    #:     (ops/linalg.py::tri_inverse_doubling), K⁻¹ = TᵀT is one GEMM
+    #:     and each ∂/∂θₖ is an O(n²) elementwise contraction.  On TPU
+    #:     the whole gradient runs at batched-GEMM throughput instead of
+    #:     the crawling XLA Cholesky-VJP triangular solves.
+    #:   "ad" — reverse-mode AD through the laddered Cholesky
+    #:     (O(n³) regardless of nhp; the conservative fallback).
+    grad_mode: str = "fast"
+
     @property
     def precision(self) -> jax.lax.Precision:
         return {

@@ -11,6 +11,7 @@ from pygpr_tpu.models.likelihood import (
     Loss,
     nlml,
     nlml_and_grad_analytic,
+    nlml_fast,
     nlml_value_and_grad,
 )
 from pygpr_tpu.models.grbcm import GRBCM

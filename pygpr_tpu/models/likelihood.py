@@ -101,12 +101,27 @@ def _nlml_batched_vals(kern, params, x, y, config: Config) -> Array:
 def nlml_value_and_grad(
     kern: Kernel, params, x, y, config: Config = DEFAULT
 ) -> Tuple[Array, Array]:
-    """(nlml, ∂nlml/∂θ) by reverse-mode AD through the Cholesky.
+    """(nlml, ∂nlml/∂θ), strategy chosen by ``config.grad_mode``:
 
-    O(n³) regardless of the number of hyperparameters — the TPU-first
-    replacement for the reference's O(nhp·n³) analytic path
-    (``loss.py:116``).
+    ``"fast"`` (default) — the solve-free closed form
+    (:func:`_nlml_vg_fast_one`): Cholesky + MXU block-doubling inverse
+    + one gram-build VJP.  ``"ad"`` — reverse-mode AD through the
+    laddered Cholesky.  Both are O(n³) independent of nhp — the
+    TPU-first replacement for the reference's O(nhp·n³) batched-solve
+    path (``loss.py:116``).
     """
+    if config.grad_mode == "fast" and not (
+        config.use_pallas and x.ndim == 3
+    ):
+        if x.ndim == 3:
+            p_ax = 0 if params.ndim == 2 else None
+            return jax.vmap(
+                lambda p, xx, yy: _nlml_vg_fast_one(
+                    kern, p, xx, yy, config
+                ),
+                in_axes=(p_ax, 0, 0),
+            )(params, x, y)
+        return _nlml_vg_fast_one(kern, params, x, y, config)
     if x.ndim == 3:
         if config.use_pallas:
             # Batch-visible path: per-expert grads = grad of the sum
@@ -134,6 +149,81 @@ def nlml_value_and_grad(
     return jax.value_and_grad(
         lambda q: _nlml_one(kern, q, x, y, config)
     )(params)
+
+
+def _nlml_vg_fast_one(kern, params, x, y, config):
+    """Closed-form value+gradient with ZERO triangular solves.
+
+    The adjoint of the NLML w.r.t. the gram matrix is
+    ``∂nlml/∂K = ½ (K⁻¹ − w wᵀ)``, ``w = K⁻¹ y`` — the reference's two
+    trace terms (``loss.py:77-84``) in one matrix.  The gradient is then
+    a single VJP through the **gram build only** (O(n²·d), kernel-
+    agnostic), never through the factorization.  K⁻¹ comes from the
+    MXU block-doubling inverse ``T = L⁻¹`` (ops/linalg.py), so the
+    whole O(n³) part is Cholesky + batched GEMMs:
+
+        z = T y   (matvec, replaces the value path's trisolve)
+        w = Tᵀ z
+        K⁻¹ = Tᵀ T  (one GEMM)
+
+    On TPU this runs at ~batched-matmul throughput, vs the AD path
+    whose Cholesky-VJP triangular solves run far off roofline.
+    """
+    from pygpr_tpu.ops.kernels import train_gram
+
+    krn, gram_vjp = jax.vjp(lambda p: train_gram(kern, p, x, config), params)
+    L, T = linalg.chol_and_tri_inverse(krn, config)
+    hi = jax.lax.Precision.HIGHEST
+    z = jnp.matmul(T, y, precision=hi)
+    w = jnp.matmul(T.T, z, precision=hi)
+    n = y.shape[-1]
+    val = (
+        0.5 * jnp.dot(z, z)
+        + linalg.half_logdet_from_chol(L)
+        + 0.5 * n * math.log(2.0 * math.pi)
+    )
+    Kinv = jnp.matmul(T.T, T, precision=hi)
+    Abar = 0.5 * (Kinv - w[:, None] * w[None, :])
+    (grad,) = gram_vjp(Abar)
+    return val, grad
+
+
+def nlml_fast(
+    kern: Kernel, params, x, y, config: Config = DEFAULT
+) -> Array:
+    """NLML whose reverse-mode derivative routes through the
+    solve-free closed form (:func:`_nlml_vg_fast_one`) instead of AD
+    through the Cholesky — the production objective for on-device
+    L-BFGS (optax's line search differentiates the objective itself,
+    so the fast path must live in a custom VJP, not a wrapper)."""
+
+    def one(xx, yy):
+        @jax.custom_vjp
+        def f(p):
+            return _nlml_one(kern, p, xx, yy, config)
+
+        def f_fwd(p):
+            v, g = _nlml_vg_fast_one(kern, p, xx, yy, config)
+            return v, g
+
+        def f_bwd(g_res, ct):
+            return (ct * g_res,)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    if x.ndim == 3:
+        if config.use_pallas:
+            # the grid-less fused Pallas kernel must not be vmapped —
+            # per-expert matrices use the XLA fast path instead
+            import dataclasses
+
+            config = dataclasses.replace(config, use_pallas=False)
+        p_ax = 0 if params.ndim == 2 else None
+        return jax.vmap(
+            lambda p, xx, yy: one(xx, yy)(p), in_axes=(p_ax, 0, 0)
+        )(params, x, y)
+    return one(x, y)(params)
 
 
 def _analytic_one(kern, params, x, y, config):

@@ -17,5 +17,6 @@ from pygpr_tpu.ops.linalg import (
     inv_from_chol,
     logdet_from_chol,
     safe_cholesky,
+    tri_inverse_doubling,
     spd_solve,
 )

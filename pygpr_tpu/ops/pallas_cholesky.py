@@ -386,3 +386,170 @@ def cholesky_pallas(K: Array, interpret: bool = False) -> Array:
     )(K)
     out = out[:, :n, :n]
     return out if batched else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused Cholesky + triangular inverse (potrf ∘ trtri), single matrix,
+# HBM-streaming.  The NLML fast-gradient path needs BOTH L (log-det,
+# value) and T = L⁻¹ (K⁻¹ = TᵀT, solve-free gradient); building T
+# forward alongside the factorization costs one extra MXU GEMM per
+# panel:  T[p, :pb] = −D⁻¹ · (L[p, :pb] @ T[:pb, :pb]),  T[p, p] = D⁻¹,
+# where D = L[p, p] — total n³/3 extra flops, all matmul-shaped, and
+# the L row is still VMEM-resident when it's needed.
+# ---------------------------------------------------------------------------
+
+
+def _chol_inv_kernel(n: int, a_ref, l_ref, t_ref, panel, colbuf, rowbuf, sems):
+    """K [n, n] in HBM → L, T=L⁻¹ [n, n] in HBM.
+
+    Streams one column panel at a time (VMEM working set ~3·n·B
+    floats).  Per static panel p:
+      1. DMA rows p·B..n of column p of the trailing matrix into VMEM
+      2. micro-Cholesky of the diagonal block + block-doubling inverse
+      3. TRSM of the sub-column via one MXU matmul
+      4. SYRK updates streamed over the trailing panels (colbuf)
+      5. T row band p: one GEMM per finished column chunk of T
+    """
+    P = n // B
+
+    def copy(src, dst, sem):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    for p in range(P):
+        lo = p * B
+        hi = lo + B
+        m = n - hi
+        # 1. fetch column panel p (rows lo..n) — SYRK-updated A values
+        copy(
+            l_ref.at[pl.ds(lo, n - lo), pl.ds(lo, B)],
+            panel.at[pl.ds(0, n - lo), :],
+            sems.at[0],
+        )
+        D = _micro_cholesky(panel[0:B, :])
+        panel[0:B, :] = D
+        Dinv = _tri_inverse(D)
+        if m > 0:
+            C = panel[B : B + m, :]
+            X = jax.lax.dot_general(
+                C, Dinv,
+                dimension_numbers=(((1,), (1,)), ((), ())),   # C · Dinvᵀ
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            panel[B : B + m, :] = X
+        # write the finished L panel back
+        copy(
+            panel.at[pl.ds(0, n - lo), :],
+            l_ref.at[pl.ds(lo, n - lo), pl.ds(lo, B)],
+            sems.at[0],
+        )
+        # 4. SYRK: stream trailing column panels j > p
+        if m > 0:
+            for j in range(p + 1, P):
+                jlo = j * B
+                mm = n - jlo
+                copy(
+                    l_ref.at[pl.ds(jlo, mm), pl.ds(jlo, B)],
+                    colbuf.at[pl.ds(0, mm), :],
+                    sems.at[1],
+                )
+                Xj = panel[B + (jlo - hi) : B + (jlo - hi) + B, :]
+                upd = jax.lax.dot_general(
+                    panel[pl.ds(B + (jlo - hi), mm), :], Xj,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                colbuf[pl.ds(0, mm), :] = colbuf[pl.ds(0, mm), :] - upd
+                copy(
+                    colbuf.at[pl.ds(0, mm), :],
+                    l_ref.at[pl.ds(jlo, mm), pl.ds(jlo, B)],
+                    sems.at[1],
+                )
+        # 5. T row band p:
+        #    T[lo:hi, jB:(j+1)B] = −Dinv (Lrow[:, jB:pB] @ T[jB:pB, jB:(j+1)B])
+        if p > 0:
+            copy(
+                l_ref.at[pl.ds(lo, B), pl.ds(0, lo)],
+                rowbuf.at[0:B, pl.ds(0, lo)],
+                sems.at[1],
+            )
+            for j in range(p):
+                jlo = j * B
+                span = lo - jlo
+                copy(
+                    t_ref.at[pl.ds(jlo, span), pl.ds(jlo, B)],
+                    panel.at[pl.ds(0, span), :],
+                    sems.at[0],
+                )
+                acc = jax.lax.dot_general(
+                    rowbuf[0:B, pl.ds(jlo, span)],
+                    panel[pl.ds(0, span), :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                Tpj = -jax.lax.dot_general(
+                    Dinv, acc,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                panel[0:B, :] = Tpj
+                copy(
+                    panel.at[0:B, :],
+                    t_ref.at[pl.ds(lo, B), pl.ds(jlo, B)],
+                    sems.at[0],
+                )
+        # T diagonal block; zero the strips right of the diagonal
+        panel[0:B, :] = Dinv
+        copy(panel.at[0:B, :], t_ref.at[pl.ds(lo, B), pl.ds(lo, B)], sems.at[0])
+        if m > 0:
+            panel[0:B, :] = jnp.zeros((B, B), jnp.float32)
+            for j in range(p + 1, P):
+                copy(
+                    panel.at[0:B, :],
+                    t_ref.at[pl.ds(lo, B), pl.ds(j * B, B)],
+                    sems.at[0],
+                )
+                copy(
+                    panel.at[0:B, :],
+                    l_ref.at[pl.ds(lo, B), pl.ds(j * B, B)],
+                    sems.at[0],
+                )
+
+
+def cholesky_inverse_pallas(K: Array, interpret: bool = False):
+    """Fused ``(L, T=L⁻¹)`` of SPD ``K [n, n]``, n a multiple of 128.
+
+    HBM-resident with a ~2·n·128-float VMEM working set; the fast NLML
+    gradient consumes both outputs (K⁻¹ = TᵀT).  Indefinite inputs
+    produce NaNs that propagate — the jitter-ladder failure signal.
+    """
+    n = K.shape[-1]
+    assert K.ndim == 2 and n % B == 0 and n >= 2 * B
+    kernel = functools.partial(_chol_inv_kernel, n)
+    L, T = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, B), jnp.float32),       # panel
+            pltpu.VMEM((n, B), jnp.float32),       # colbuf (SYRK stream)
+            pltpu.VMEM((B, n), jnp.float32),       # rowbuf (L row band)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(K.astype(jnp.float32))
+    return L, T

@@ -110,11 +110,17 @@ def fit_mle(
     intended (``gr_bcm.py:52-97``, SURVEY.md §2.5).
     """
 
+    from pygpr_tpu.models.likelihood import nlml_fast
+
+    # "fast" routes the line search's value_and_grad through the
+    # solve-free closed-form gradient (likelihood._nlml_vg_fast_one).
+    obj = nlml_fast if config.grad_mode == "fast" else nlml
+
     def solve_one(p0, xx, yy):
         if log_space:
             u0 = jnp.log(jnp.abs(p0))
             res = minimize_lbfgs(
-                lambda u: nlml(kern, jnp.exp(u), xx, yy, config),
+                lambda u: obj(kern, jnp.exp(u), xx, yy, config),
                 u0,
                 max_iter=max_iter,
                 tol=tol,
@@ -122,7 +128,7 @@ def fit_mle(
             )
             return res._replace(params=jnp.exp(res.params))
         return minimize_lbfgs(
-            lambda q: nlml(kern, q, xx, yy, config),
+            lambda q: obj(kern, q, xx, yy, config),
             p0,
             max_iter=max_iter,
             tol=tol,
