@@ -186,6 +186,7 @@ def fit(
     tol: float = 1e-4,
     log_space: bool = True,
     shared: bool = False,
+    stream: bool = False,
 ) -> Tuple[FitInfo, Array, Array]:
     """Working replacement for the reference's broken ``GRBCM.train``
     (``gr_bcm.py:36-97``): per-expert L-BFGS fits on the augmented
@@ -197,6 +198,13 @@ def fit(
     the calibrated choice: independently fitted experts can disagree
     wildly on noise levels, and the β-weighted precision combination
     then overclaims confidence (NLPD blows up even when RMSE is fine).
+
+    ``stream=True`` (shared mode) sequentializes experts with
+    ``lax.map`` so peak memory is ONE expert's gram — the single-chip
+    mode for BASELINE-scale committees (16×6k+ experts OOM a 16 GB
+    chip vmapped).  The objective is ``nlml_fast`` whose custom VJP
+    stores only the nhp-vector gradient per expert, so reverse-mode
+    through the map costs O(nc·nhp) residual memory, not O(nc·n²).
 
     Returns ``(FitInfo, x_aug, y_aug)``.
     """
@@ -219,15 +227,28 @@ def fit(
     nc = xl.shape[0]
     if shared:
         from pygpr_tpu.models.likelihood import nlml as _nlml
+        from pygpr_tpu.models.likelihood import nlml_fast as _nlml_fast
+
+        if stream:
+            def committee_vals(q):
+                return jax.lax.map(
+                    lambda ab: _nlml_fast(
+                        kern, q, ab[0], ab[1], config
+                    ),
+                    (x_aug, y_aug),
+                )
+        else:
+            def committee_vals(q):
+                return _nlml(kern, q, x_aug, y_aug, config)
 
         def total(u):
             q = jnp.exp(u) if log_space else u
-            return jnp.sum(_nlml(kern, q, x_aug, y_aug, config))
+            return jnp.sum(committee_vals(q))
 
         u0 = jnp.log(jnp.abs(params0)) if log_space else params0
         res_s = minimize_lbfgs(total, u0, max_iter=max_iter, tol=tol)
         p_shared = jnp.exp(res_s.params) if log_space else res_s.params
-        vals = _nlml(kern, p_shared, x_aug, y_aug, config)
+        vals = committee_vals(p_shared)
         res_l = res_s._replace(
             params=jnp.broadcast_to(p_shared, (nc,) + p_shared.shape),
             value=vals,

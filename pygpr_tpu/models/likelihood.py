@@ -197,20 +197,25 @@ def nlml_fast(
     L-BFGS (optax's line search differentiates the objective itself,
     so the fast path must live in a custom VJP, not a wrapper)."""
 
+    # x/y are PRIMAL arguments (zero cotangent), not closure captures:
+    # a custom_vjp that closes over tracers leaks them when the call
+    # sits inside another trace (e.g. ``lax.map`` expert streaming).
+    @jax.custom_vjp
+    def f(p, xx, yy):
+        return _nlml_one(kern, p, xx, yy, config)
+
+    def f_fwd(p, xx, yy):
+        v, g = _nlml_vg_fast_one(kern, p, xx, yy, config)
+        return v, (g, xx, yy)
+
+    def f_bwd(res, ct):
+        g, xx, yy = res
+        return ct * g, jnp.zeros_like(xx), jnp.zeros_like(yy)
+
+    f.defvjp(f_fwd, f_bwd)
+
     def one(xx, yy):
-        @jax.custom_vjp
-        def f(p):
-            return _nlml_one(kern, p, xx, yy, config)
-
-        def f_fwd(p):
-            v, g = _nlml_vg_fast_one(kern, p, xx, yy, config)
-            return v, g
-
-        def f_bwd(g_res, ct):
-            return (ct * g_res,)
-
-        f.defvjp(f_fwd, f_bwd)
-        return f
+        return lambda p: f(p, xx, yy)
 
     if x.ndim == 3:
         if config.use_pallas:

@@ -161,3 +161,51 @@ def test_augment_shapes(rng):
     assert y.shape == (nc, ng + nls)
     np.testing.assert_allclose(np.asarray(x[1, :ng]), np.asarray(xg))
     np.testing.assert_allclose(np.asarray(x[2, ng:]), np.asarray(xl[2]))
+
+
+def test_shared_fit_stream_matches_vmapped(rng):
+    """``fit(shared=True, stream=True)`` (lax.map experts + nlml_fast
+    custom-VJP objective) reaches the same optimum as the vmapped
+    shared fit, and streamed predict matches the vmapped predict."""
+    from pygpr_tpu.models import exact_gp
+
+    nc, n, ng, dim, noise = 3, 40, 20, 2, 0.05
+    xl = jnp.asarray(rng.uniform(size=(nc, n, dim)))
+    xg = jnp.asarray(rng.uniform(size=(ng, dim)))
+    yl = jnp.sin(2 * xl.sum(-1)) + noise * jnp.asarray(
+        rng.normal(size=(nc, n))
+    )
+    yg = jnp.sin(2 * xg.sum(-1)) + noise * jnp.asarray(
+        rng.normal(size=ng)
+    )
+    cov = _cov()
+
+    info_s, xa, ya = grbcm.fit(
+        cov, xl, yl, xg, yg, max_iter=60, shared=True, stream=True
+    )
+    info_v, _, _ = grbcm.fit(
+        cov, xl, yl, xg, yg, max_iter=60, shared=True, stream=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(info_s.params_l),
+        np.asarray(info_v.params_l),
+        rtol=2e-3,
+    )
+
+    sg = exact_gp.factorize(cov, info_s.params_g, xg, yg)
+    sl_s = exact_gp.factorize(cov, info_s.params_l, xa, ya, stream=True)
+    sl_v = exact_gp.factorize(cov, info_s.params_l, xa, ya)
+    xs = jnp.asarray(rng.uniform(size=(30, dim)))
+    r_s = grbcm.predict(
+        cov, info_s.params_g, info_s.params_l, sg, sl_s, xs, "diag",
+        stream=True,
+    )
+    r_v = grbcm.predict(
+        cov, info_s.params_g, info_s.params_l, sg, sl_v, xs, "diag"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_s.mean), np.asarray(r_v.mean), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_s.covar), np.asarray(r_v.covar), rtol=1e-5, atol=1e-6
+    )

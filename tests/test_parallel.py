@@ -91,14 +91,14 @@ def test_sharded_fit_equals_batched(rng):
     from pygpr_tpu.optimize import fit_mle
 
     res_ref = fit_mle(cov, jnp.broadcast_to(p0, (8,) + p0.shape),
-                      x_aug, y_aug, max_iter=40)
+                      x_aug, y_aug, max_iter=100)
 
     mesh = make_mesh(n_expert=8)
     params_g, params_l, nlml_g, nlml_l = grbcm_fit_sharded(
-        cov, p0, xg, yg, x_aug, y_aug, mesh, max_iter=40, shared=False
+        cov, p0, xg, yg, x_aug, y_aug, mesh, max_iter=100, shared=False
     )
     assert params_l.shape == (8, 4)
-    # Trajectories are FP-sensitive (40 line-searched iterations under
+    # Trajectories are FP-sensitive (line-searched iterations under
     # different XLA fusions); both reach the same optimum.
     np.testing.assert_allclose(
         np.asarray(nlml_l), np.asarray(res_ref.value), rtol=1e-3
