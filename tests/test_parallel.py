@@ -305,3 +305,40 @@ def test_dist_nlml_gradient_matches_ad(rng):
     v_ref, g_ref = jax.value_and_grad(lambda q: nlml(cov, q, x, y))(p)
     np.testing.assert_allclose(v_dist, float(v_ref), rtol=1e-10)
     np.testing.assert_allclose(g_dist, np.asarray(g_ref), rtol=1e-7)
+
+
+def test_cyclic_layout_roundtrip(rng):
+    from pygpr_tpu.parallel.dist_cyclic import from_cyclic, to_cyclic
+
+    n = 64
+    K = jnp.asarray(rng.normal(size=(n, n)))
+    for m in (1, 2, 4):
+        Kc = to_cyclic(K, 8, m)
+        np.testing.assert_array_equal(
+            np.asarray(from_cyclic(Kc, 8, m)), np.asarray(K)
+        )
+
+
+@pytest.mark.parametrize("n,m", [(128, 1), (128, 2), (256, 4)])
+def test_dist_cholesky_cyclic_matches_lax(rng, n, m):
+    """Block-cyclic schedule == lax Cholesky (through the layout
+    permutation), for several blocks-per-device counts."""
+    from pygpr_tpu.parallel.dist_cyclic import (
+        dist_cholesky_cyclic,
+        from_cyclic,
+        to_cyclic,
+    )
+
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    mesh = make_mesh(n_expert=8)
+    Kc = to_cyclic(K, 8, m)
+    # always jit: eager shard_map dispatches every collective round
+    # separately (minutes at n=512 on the virtual mesh)
+    Lc = jax.jit(
+        lambda a: dist_cholesky_cyclic(a, mesh, m=m)
+    )(Kc)
+    L = np.asarray(from_cyclic(Lc, 8, m))
+    Lref = np.asarray(jax.lax.linalg.cholesky(K))
+    np.testing.assert_allclose(L, Lref, rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(L, 1), 0.0)
