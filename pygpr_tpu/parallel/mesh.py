@@ -49,8 +49,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def multihost_init(**kwargs) -> None:
     """Initialize JAX's multi-host runtime (``jax.distributed``,
-    SURVEY.md §5.8).  No-op when running single-process."""
-    if jax.process_count() == 1 and not kwargs:
+    SURVEY.md §5.8).
+
+    Must be called BEFORE any JAX computation or device query — even
+    ``jax.process_count()`` initializes the backend, after which
+    ``jax.distributed.initialize`` is rejected.  Therefore this probes
+    the *environment* (explicit kwargs, or the cluster-autodetect env
+    vars JAX itself reads) and stays a true no-op single-process.
+
+    Exercised for real by ``tests/test_multiprocess.py``, which spawns
+    two coordinated processes with gloo CPU collectives.
+    """
+    import os
+
+    auto = any(
+        v in os.environ
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
+    if not kwargs and not auto:
         return
     jax.distributed.initialize(**kwargs)
 
