@@ -187,3 +187,206 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# BASELINE-scale artifacts (configs 4 and 5)
+# ---------------------------------------------------------------------------
+
+
+def bench_large_n(
+    nc: int = 16,
+    nls: int = 6144,
+    ng: int = 256,
+    n_query: int = 8192,
+    dim: int = 2,
+    fit_iters: int = 15,
+    seed: int = 0,
+) -> dict:
+    """BASELINE config 4: grBCM at N≈100k (16 experts) on ONE chip.
+
+    Streams experts (``lax.map``) so peak memory is one 6.4k² gram;
+    the shared joint fit uses the ``nlml_fast`` custom-VJP objective so
+    reverse-mode through the stream stores only nhp floats per expert.
+    Returns factorize time, predictions/s, RMSE and NLPD vs held-out
+    noisy targets as a dict (printed as JSON by ``__main__``).
+    """
+    import time
+
+    import pygpr_tpu as gp
+    from pygpr_tpu.models import exact_gp, grbcm
+
+    rng = np.random.default_rng(seed)
+    n_total = nc * nls
+
+    def f(x):
+        return np.sin(2.0 * x.sum(-1)) + 0.5 * np.cos(5.0 * x[..., 0])
+
+    xl = rng.uniform(0, 4, (nc, nls, dim)).astype(np.float32)
+    yl = (f(xl) + 0.1 * rng.normal(size=(nc, nls))).astype(np.float32)
+    xg = rng.uniform(0, 4, (ng, dim)).astype(np.float32)
+    yg = (f(xg) + 0.1 * rng.normal(size=ng)).astype(np.float32)
+    xs = rng.uniform(0, 4, (n_query, dim)).astype(np.float32)
+    ys_true = f(xs)
+    ys_noisy = (ys_true + 0.1 * rng.normal(size=n_query)).astype(
+        np.float32
+    )
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+
+    # --- shared joint fit (streamed) --------------------------------
+    t0 = time.perf_counter()
+    info, x_aug, y_aug = grbcm.fit(
+        cov,
+        jnp.asarray(xl), jnp.asarray(yl),
+        jnp.asarray(xg), jnp.asarray(yg),
+        max_iter=fit_iters, shared=True, stream=True,
+    )
+    params_g = np.asarray(info.params_g)
+    params_l = np.asarray(info.params_l)
+    fit_s = time.perf_counter() - t0
+
+    # --- factorize (streamed) ---------------------------------------
+    def factorize_all(pg, pl, xa, ya, xg_, yg_):
+        sg = exact_gp.factorize(cov, pg, xg_, yg_)
+        sl = exact_gp.factorize(cov, pl, xa, ya, stream=True)
+        return sg, sl
+
+    fac = jax.jit(factorize_all)
+    sg, sl = fac(
+        jnp.asarray(params_g), jnp.asarray(params_l),
+        x_aug, y_aug, jnp.asarray(xg), jnp.asarray(yg),
+    )
+    jnp.sum(sl.chol[..., 0, 0]).item()  # compiled + done
+    t0 = time.perf_counter()
+    sg, sl = fac(
+        jnp.asarray(params_g), jnp.asarray(params_l),
+        x_aug, y_aug, jnp.asarray(xg), jnp.asarray(yg),
+    )
+    jnp.sum(sl.chol[..., 0, 0]).item()
+    factorize_s = time.perf_counter() - t0
+
+    # --- predict (streamed, diag) -----------------------------------
+    # the states hold the 16x6400^2 Cholesky stack (2.6 GB) — they must
+    # be jit ARGUMENTS; closing over them embeds them as compile-time
+    # constants and stalls lowering over the remote tunnel
+    def predict_q(pg, pl, sg_, sl_, q):
+        res = grbcm.predict(
+            cov, pg, pl, sg_, sl_, q, "diag", stream=True,
+        )
+        return res.mean, res.covar
+
+    pq = jax.jit(predict_q)
+    pg_j, pl_j = jnp.asarray(params_g), jnp.asarray(params_l)
+    xs_j = jnp.asarray(xs)
+    mean, var = pq(pg_j, pl_j, sg, sl, xs_j)
+    jnp.sum(mean).item()
+    t0 = time.perf_counter()
+    mean, var = pq(pg_j, pl_j, sg, sl, xs_j)
+    jnp.sum(mean).item()
+    predict_s = time.perf_counter() - t0
+
+    mean, var = np.asarray(mean), np.asarray(var)
+    err = mean - ys_noisy
+    rmse_true = float(np.sqrt(np.mean((mean - ys_true) ** 2)))
+    nlpd = float(
+        np.mean(0.5 * np.log(2 * np.pi * var) + err**2 / (2 * var))
+    )
+    # per-query flop math for the README row: each query costs, per
+    # expert, one kernel row (n_aug·d) + the amortized share of the
+    # n_aug²·n_query solve pair => ~2·(nc·n_aug² + ng²) flops/query.
+    n_aug = nls + ng
+    flops_per_query = 2.0 * (nc * n_aug**2 + ng**2)
+    return {
+        "metric": "grbcm_large_n_single_chip",
+        "n_total": n_total,
+        "experts": nc,
+        "n_aug": n_aug,
+        "fit_s": round(fit_s, 2),
+        "fit_iters": fit_iters,
+        "factorize_s": round(factorize_s, 3),
+        "predict_s": round(predict_s, 3),
+        "predictions_per_s": round(n_query / predict_s, 1),
+        "flops_per_query": flops_per_query,
+        "rmse_vs_true": round(rmse_true, 4),
+        "nlpd": round(nlpd, 3),
+        "params_shared": [round(float(v), 4) for v in params_l[0]],
+    }
+
+
+def million_point_mesh_run(
+    nc: int = 2000,
+    nls: int = 500,
+    ng: int = 128,
+    n_query: int = 256,
+    dim: int = 2,
+    fit_iters: int = 3,
+    seed: int = 0,
+) -> dict:
+    """BASELINE config 5 correctness artifact: grBCM at N=1,000,000
+    with experts sharded over the available device mesh (8 virtual CPU
+    devices in the committed run), exercising the sharded shared fit +
+    psum aggregation end-to-end on a tiny query set.
+
+    This is a CORRECTNESS run (the code path at scale), not a perf
+    claim: virtual devices share one CPU.  On a real pod the same call
+    runs unchanged with experts over ICI.
+    """
+    import pygpr_tpu as gp
+    from pygpr_tpu.models import grbcm
+    from pygpr_tpu.parallel import (
+        grbcm_fit_sharded,
+        grbcm_predict_sharded,
+        make_mesh,
+    )
+
+    n_dev = len(jax.devices())
+    assert nc % n_dev == 0
+    rng = np.random.default_rng(seed)
+    n_total = nc * nls
+
+    def f(x):
+        return np.sin(2.0 * x.sum(-1))
+
+    xl = rng.uniform(0, 4, (nc, nls, dim)).astype(np.float32)
+    yl = (f(xl) + 0.1 * rng.normal(size=(nc, nls))).astype(np.float32)
+    xg = rng.uniform(0, 4, (ng, dim)).astype(np.float32)
+    yg = (f(xg) + 0.1 * rng.normal(size=ng)).astype(np.float32)
+    xs = rng.uniform(0, 4, (n_query, dim)).astype(np.float32)
+    ys_true = f(xs)
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+
+    x_aug, y_aug = grbcm.augment(
+        jnp.asarray(xl), jnp.asarray(yl), jnp.asarray(xg), jnp.asarray(yg)
+    )
+    p0 = jnp.ones((cov.n_params(dim),), jnp.float32)
+    mesh = make_mesh(n_expert=n_dev, n_chain=1)
+
+    import time
+
+    t0 = time.perf_counter()
+    params_g, params_l, nlml_g, nlml_l = jax.jit(
+        lambda *a: grbcm_fit_sharded(
+            cov, *a, mesh, max_iter=fit_iters, shared=True
+        )
+    )(p0, jnp.asarray(xg), jnp.asarray(yg), x_aug, y_aug)
+    mean, var = jax.jit(
+        lambda *a: grbcm_predict_sharded(cov, *a, mesh)
+    )(params_g, params_l, jnp.asarray(xg), jnp.asarray(yg),
+      x_aug, y_aug, jnp.asarray(xs))
+    mean, var = np.asarray(mean), np.asarray(var)
+    wall = time.perf_counter() - t0
+
+    assert np.isfinite(mean).all() and np.isfinite(var).all()
+    assert (var > 0).all()
+    rmse = float(np.sqrt(np.mean((mean - ys_true) ** 2)))
+    return {
+        "metric": "grbcm_million_point_mesh",
+        "n_total": n_total,
+        "experts": nc,
+        "devices": n_dev,
+        "fit_iters": fit_iters,
+        "wall_s": round(wall, 1),
+        "rmse_vs_true": round(rmse, 4),
+        "all_finite": True,
+        "nlml_sum": round(float(np.sum(np.asarray(nlml_l))), 1),
+    }

@@ -1,3 +1,57 @@
-from pygpr_tpu.bench import main
+"""``python -m pygpr_tpu.bench [flag]`` — benchmark entry points.
 
-main()
+  (no flag)     the headline metric set (evals/s, predictions/s,
+                weak scaling where devices allow)
+  --large-n     BASELINE config 4: grBCM N≈100k, 16 experts, one chip
+                (streamed); prints factorize time, predictions/s,
+                RMSE/NLPD as one JSON line.
+  --million     BASELINE config 5 correctness artifact: grBCM N=1M,
+                experts sharded over the device mesh.  Run on CPU with
+                8 virtual devices via
+                  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+                (the committed artifact) or on a real multi-chip mesh.
+"""
+
+import json
+import sys
+
+
+def _main():
+    args = sys.argv[1:]
+    if "--million" in args:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            flags += " --xla_force_host_platform_device_count=8"
+        if "xla_cpu_collective" not in flags:
+            # 8 virtual devices share the host cores, so devices reach
+            # each all-reduce minutes apart at N=1M — without this the
+            # in-process communicator's 40 s rendezvous watchdog
+            # aborts the run (rendezvous.cc "Termination timeout").
+            flags += (
+                " --xla_cpu_collective_timeout_seconds=3600"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+            )
+        os.environ["XLA_FLAGS"] = flags.strip()
+        import jax
+
+        platforms = jax.config.jax_platforms or ""
+        if "axon" in platforms or platforms == "":
+            # the 1M artifact is a mesh-correctness run; default to the
+            # virtual CPU mesh unless real multi-chip hardware is up
+            jax.config.update("jax_platforms", "cpu")
+        from pygpr_tpu.bench import million_point_mesh_run
+
+        print(json.dumps(million_point_mesh_run()), flush=True)
+    elif "--large-n" in args:
+        from pygpr_tpu.bench import bench_large_n
+
+        print(json.dumps(bench_large_n()), flush=True)
+    else:
+        from pygpr_tpu.bench import main
+
+        main()
+
+
+_main()
