@@ -109,9 +109,10 @@ def bench_tpu(latency):
 
 def eval_flops(n=N, dim=DIM):
     """FLOPs of one fast-path value+grad eval (the measured program):
-    Cholesky n³/3 + block-inverse n³/3 + K⁻¹=TᵀT 2n³ + gram build/VJP
-    distance GEMMs 4n²d + O(n²) elementwise."""
-    return (8.0 / 3.0) * n**3 + 4.0 * n**2 * dim + 20.0 * n**2
+    Cholesky n³/3 + block-inverse n³/3 + K⁻¹=TᵀT via the triangular
+    syrk recursion ⅔n³ (``ops/linalg.py::syrk_from_tril``) + gram
+    build/VJP distance GEMMs 4n²d + O(n²) elementwise."""
+    return (4.0 / 3.0) * n**3 + 4.0 * n**2 * dim + 20.0 * n**2
 
 
 def bench_reference_cpu():
