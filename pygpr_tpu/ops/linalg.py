@@ -326,8 +326,13 @@ def chol_and_tri_inverse(K: Array, config: Config = DEFAULT):
 
         if pk.on_tpu():
             from pygpr_tpu.ops.pallas_cholesky import (
+                MAX_FUSED_N,
                 cholesky_inverse_pallas,
             )
+
+            if n > MAX_FUSED_N:  # VMEM working-set cap → XLA path
+                L = safe_cholesky(K, config).chol
+                return L, tri_inverse_doubling(L)
 
             base = jnp.asarray(config.jitter, K.dtype)
             rungs = config.jitter_rungs

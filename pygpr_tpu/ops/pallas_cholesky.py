@@ -37,6 +37,10 @@ Array = jax.Array
 
 B = 128  # panel width (MXU-aligned)
 
+# largest single matrix the fused chol+inverse kernel accepts: its five
+# n·B f32 VMEM panels must fit the ~16 MB/core budget with headroom
+MAX_FUSED_N = 5632
+
 
 def _micro_cholesky(tile: Array) -> Array:
     """Cholesky of one [B, B] block (lower), masked column loop.
@@ -81,7 +85,21 @@ def _tri_inverse(L: Array) -> Array:
     same8 = (rows // 8) == (cols // 8)
     diag = rows == cols
 
+    # ~20 serial [B,B] matmuls sit on the kernel's critical path; at
+    # HIGHEST each costs 6 MXU passes.  Run the recursion in DEFAULT
+    # (1 pass) and recover f32 accuracy with ONE Newton step at
+    # HIGHEST at the end (2 matmuls): T ← 2T − T·L·T.  Measured
+    # residual ‖TL−I‖∞: 1.1e-7 (all-HIGHEST) / 1.5e-6 (this) /
+    # 1.4e-3 (no refinement).
     def mm(a, b):
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm_hi(a, b):
         return jax.lax.dot_general(
             a, b,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -111,7 +129,8 @@ def _tri_inverse(L: Array) -> Array:
         X = mm(mm(T, Bm), T)
         T = T - jnp.where(pairm, X, 0.0)
         s *= 2
-    return T
+    # Newton refinement at full precision (see mm docstring above)
+    return 2.0 * T - mm_hi(T, mm_hi(L, T))
 
 
 def _chol_kernel(n: int, a_ref, out_ref):
@@ -199,7 +218,17 @@ def _tri_inverse_batched(L: Array) -> Array:
     same8 = (rows // 8) == (cols // 8)
     diag = rows == cols
 
+    # DEFAULT-precision recursion + one HIGHEST Newton step at the end
+    # (see _tri_inverse): the serial matmul chain is the critical path
     def bmm(a, b):
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    def bmm_hi(a, b):
         return jax.lax.dot_general(
             a, b,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -227,7 +256,7 @@ def _tri_inverse_batched(L: Array) -> Array:
         X = bmm(bmm(T, Bm), T)
         T = T - jnp.where(pairm, X, 0.0)
         s *= 2
-    return T
+    return 2.0 * T - bmm_hi(T, bmm_hi(L, T))
 
 
 def _chol_batched_kernel(nb: int, n: int, hbm_ref, out_ref, panel, colbuf, sems):
@@ -399,126 +428,152 @@ def cholesky_pallas(K: Array, interpret: bool = False) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _chol_inv_kernel(n: int, a_ref, l_ref, t_ref, panel, colbuf, rowbuf, sems):
-    """K [n, n] in HBM → L, T=L⁻¹ [n, n] in HBM.
+def _chol_inv_kernel(
+    n: int, a_ref, l_ref, t_ref, panel, colbuf, rowbuf, tband, sems
+):
+    """K [n, n] in HBM → L, T=L⁻¹ [n, n] in HBM, **left-looking**.
 
-    Streams one column panel at a time (VMEM working set ~3·n·B
-    floats).  Per static panel p:
-      1. DMA rows p·B..n of column p of the trailing matrix into VMEM
-      2. micro-Cholesky of the diagonal block + block-doubling inverse
-      3. TRSM of the sub-column via one MXU matmul
-      4. SYRK updates streamed over the trailing panels (colbuf)
-      5. T row band p: one GEMM per finished column chunk of T
+    Per static panel p (lo = p·B):
+      1. DMA the *original* K column panel (rows lo..n — left-looking
+         never writes the trailing matrix, so the aliased buffer still
+         holds K there) and the finished L row band L[lo:hi, 0:lo]
+      2. update: panel −= Σⱼ L[lo:n, jB:(j+1)B] · L[lo:hi, jB:(j+1)B]ᵀ,
+         streaming the j panels through a two-slot colbuf (the next
+         panel's DMA in flight while the MXU consumes the current one —
+         the streams are read-only, so no write-ordering hazards)
+      3. micro-Cholesky of the diagonal block + block-doubling inverse,
+         TRSM of the sub-column via one MXU matmul
+      4. T row band: Tpⱼ = −D⁻¹·(Lrow[:, jB:pB] @ T[jB:pB, jB:(j+1)B]),
+         accumulated in a [B, n] VMEM band and written with ONE DMA
+         (the right-of-diagonal zeros ride along from the band's
+         never-written tail, zeroed once at start)
+
+    vs the previous right-looking version: the trailing matrix is never
+    re-written (≈3× less HBM traffic), every stream is double-buffered,
+    and the per-block zero/band writes collapse into one wide DMA per
+    panel — the kernel had been latency-bound on ~P² blocking DMAs.
     """
     P = n // B
 
-    def copy(src, dst, sem):
+    def start(src, dst, sem):
         cp = pltpu.make_async_copy(src, dst, sem)
         cp.start()
-        cp.wait()
+        return cp
+
+    # zero the band's tail once: each panel writes band data only into
+    # cols [0, hi) and zeros only ever to the right of that
+    tband[...] = jnp.zeros_like(tband)
 
     for p in range(P):
         lo = p * B
         hi = lo + B
         m = n - hi
-        # 1. fetch column panel p (rows lo..n) — SYRK-updated A values
-        copy(
-            l_ref.at[pl.ds(lo, n - lo), pl.ds(lo, B)],
-            panel.at[pl.ds(0, n - lo), :],
+        rows = n - lo
+        # 1. original-K panel + finished L row band, fetched together
+        cp_panel = start(
+            l_ref.at[pl.ds(lo, rows), pl.ds(lo, B)],
+            panel.at[pl.ds(0, rows), :],
             sems.at[0],
         )
+        if p > 0:
+            cp_row = start(
+                l_ref.at[pl.ds(lo, B), pl.ds(0, lo)],
+                rowbuf.at[0:B, pl.ds(0, lo)],
+                sems.at[3],
+            )
+            cp_row.wait()
+        cp_panel.wait()
+
+        # 2. left-looking update, two-slot double-buffered stream
+        if p > 0:
+            cps = [None, None]
+
+            def col_dma(j):
+                return start(
+                    l_ref.at[pl.ds(lo, rows), pl.ds(j * B, B)],
+                    colbuf.at[j % 2, pl.ds(0, rows), :],
+                    sems.at[1 + (j % 2)],
+                )
+
+            cps[0] = col_dma(0)
+            for j in range(p):
+                if j + 1 < p:
+                    cps[(j + 1) % 2] = col_dma(j + 1)
+                cps[j % 2].wait()
+                upd = jax.lax.dot_general(
+                    colbuf[j % 2, pl.ds(0, rows), :],
+                    rowbuf[0:B, pl.ds(j * B, B)],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                panel[pl.ds(0, rows), :] = panel[pl.ds(0, rows), :] - upd
+
+        # 3. factorize the panel
         D = _micro_cholesky(panel[0:B, :])
         panel[0:B, :] = D
         Dinv = _tri_inverse(D)
         if m > 0:
-            C = panel[B : B + m, :]
             X = jax.lax.dot_general(
-                C, Dinv,
+                panel[B : B + m, :], Dinv,
                 dimension_numbers=(((1,), (1,)), ((), ())),   # C · Dinvᵀ
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
             panel[B : B + m, :] = X
-        # write the finished L panel back
-        copy(
-            panel.at[pl.ds(0, n - lo), :],
-            l_ref.at[pl.ds(lo, n - lo), pl.ds(lo, B)],
+        cp_lpanel = start(
+            panel.at[pl.ds(0, rows), :],
+            l_ref.at[pl.ds(lo, rows), pl.ds(lo, B)],
             sems.at[0],
         )
-        # 4. SYRK: stream trailing column panels j > p
-        if m > 0:
-            for j in range(p + 1, P):
-                jlo = j * B
-                mm = n - jlo
-                copy(
-                    l_ref.at[pl.ds(jlo, mm), pl.ds(jlo, B)],
-                    colbuf.at[pl.ds(0, mm), :],
-                    sems.at[1],
-                )
-                Xj = panel[B + (jlo - hi) : B + (jlo - hi) + B, :]
-                upd = jax.lax.dot_general(
-                    panel[pl.ds(B + (jlo - hi), mm), :], Xj,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                colbuf[pl.ds(0, mm), :] = colbuf[pl.ds(0, mm), :] - upd
-                copy(
-                    colbuf.at[pl.ds(0, mm), :],
-                    l_ref.at[pl.ds(jlo, mm), pl.ds(jlo, B)],
-                    sems.at[1],
-                )
-        # 5. T row band p:
-        #    T[lo:hi, jB:(j+1)B] = −Dinv (Lrow[:, jB:pB] @ T[jB:pB, jB:(j+1)B])
+
+        # 4. T row band, streamed through the (now idle) colbuf slots
         if p > 0:
-            copy(
-                l_ref.at[pl.ds(lo, B), pl.ds(0, lo)],
-                rowbuf.at[0:B, pl.ds(0, lo)],
-                sems.at[1],
-            )
+            cps = [None, None]
+
+            def tcol_dma(j):
+                return start(
+                    t_ref.at[pl.ds(j * B, lo - j * B), pl.ds(j * B, B)],
+                    colbuf.at[j % 2, pl.ds(0, lo - j * B), :],
+                    sems.at[1 + (j % 2)],
+                )
+
+            cps[0] = tcol_dma(0)
             for j in range(p):
                 jlo = j * B
                 span = lo - jlo
-                copy(
-                    t_ref.at[pl.ds(jlo, span), pl.ds(jlo, B)],
-                    panel.at[pl.ds(0, span), :],
-                    sems.at[0],
-                )
+                if j + 1 < p:
+                    cps[(j + 1) % 2] = tcol_dma(j + 1)
+                cps[j % 2].wait()
                 acc = jax.lax.dot_general(
                     rowbuf[0:B, pl.ds(jlo, span)],
-                    panel[pl.ds(0, span), :],
+                    colbuf[j % 2, pl.ds(0, span), :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
-                Tpj = -jax.lax.dot_general(
+                tband[0:B, pl.ds(jlo, B)] = -jax.lax.dot_general(
                     Dinv, acc,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
-                panel[0:B, :] = Tpj
-                copy(
-                    panel.at[0:B, :],
-                    t_ref.at[pl.ds(lo, B), pl.ds(jlo, B)],
-                    sems.at[0],
-                )
-        # T diagonal block; zero the strips right of the diagonal
-        panel[0:B, :] = Dinv
-        copy(panel.at[0:B, :], t_ref.at[pl.ds(lo, B), pl.ds(lo, B)], sems.at[0])
+        tband[0:B, pl.ds(lo, B)] = Dinv
+        # the band write carries the zeros right of the diagonal too
+        cp_tband = start(
+            tband.at[0:B, :], t_ref.at[pl.ds(lo, B), :], sems.at[4]
+        )
         if m > 0:
-            panel[0:B, :] = jnp.zeros((B, B), jnp.float32)
-            for j in range(p + 1, P):
-                copy(
-                    panel.at[0:B, :],
-                    t_ref.at[pl.ds(lo, B), pl.ds(j * B, B)],
-                    sems.at[0],
-                )
-                copy(
-                    panel.at[0:B, :],
-                    l_ref.at[pl.ds(lo, B), pl.ds(j * B, B)],
-                    sems.at[0],
-                )
+            # L's right-of-diagonal strip: one wide zero DMA from the
+            # band's untouched tail
+            cp_lzero = start(
+                tband.at[0:B, pl.ds(hi, m)],
+                l_ref.at[pl.ds(lo, B), pl.ds(hi, m)],
+                sems.at[5],
+            )
+            cp_lzero.wait()
+        cp_tband.wait()
+        cp_lpanel.wait()
 
 
 def cholesky_inverse_pallas(K: Array, interpret: bool = False):
@@ -530,6 +585,10 @@ def cholesky_inverse_pallas(K: Array, interpret: bool = False):
     """
     n = K.shape[-1]
     assert K.ndim == 2 and n % B == 0 and n >= 2 * B
+    # VMEM working set: 5 panels of n·B f32 (panel + 2-slot colbuf +
+    # rowbuf + tband) ≈ 2.5·n KB — callers cap n (ops.linalg dispatch)
+    # so this stays under the ~16 MB/core budget
+    assert n <= MAX_FUSED_N, n
     kernel = functools.partial(_chol_inv_kernel, n)
     L, T = pl.pallas_call(
         kernel,
@@ -544,9 +603,10 @@ def cholesky_inverse_pallas(K: Array, interpret: bool = False):
         ),
         scratch_shapes=[
             pltpu.VMEM((n, B), jnp.float32),       # panel
-            pltpu.VMEM((n, B), jnp.float32),       # colbuf (SYRK stream)
+            pltpu.VMEM((2, n, B), jnp.float32),    # colbuf (2-slot stream)
             pltpu.VMEM((B, n), jnp.float32),       # rowbuf (L row band)
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((B, n), jnp.float32),       # tband (T row band)
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

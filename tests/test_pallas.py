@@ -164,3 +164,29 @@ def test_factorize_batched_pallas_path(rng, monkeypatch):
         atol=1e-2, rtol=1e-3,
     )
     assert st_pal.ok.shape == (nc,)
+
+
+@pytest.mark.parametrize("n", [256, 384, 512])
+def test_cholesky_inverse_pallas_interpret(n, rng):
+    """Fused (L, T=L⁻¹) kernel vs NumPy, interpret mode (left-looking
+    schedule: original-K panels, streamed update, one-DMA T bands)."""
+    from pygpr_tpu.ops.pallas_cholesky import cholesky_inverse_pallas
+
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    K = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    L, T = cholesky_inverse_pallas(jnp.asarray(K), interpret=True)
+    L, T = np.asarray(L), np.asarray(T)
+    Lr = np.linalg.cholesky(K.astype(np.float64))
+    np.testing.assert_allclose(L, Lr, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(T @ Lr, np.eye(n), atol=5e-3)
+    assert np.all(np.triu(L, 1) == 0.0)
+    assert np.all(np.triu(T, 1) == 0.0)
+
+
+def test_cholesky_inverse_pallas_indefinite_nan(rng):
+    """Indefinite input must surface NaNs — the ladder's retry signal."""
+    from pygpr_tpu.ops.pallas_cholesky import cholesky_inverse_pallas
+
+    K = -np.eye(256, dtype=np.float32)
+    L, _ = cholesky_inverse_pallas(jnp.asarray(K), interpret=True)
+    assert not np.isfinite(np.asarray(L)).all()
