@@ -37,7 +37,9 @@ from pygpr_tpu.models.exact_gp import (
     GPState,
     factorize,
     fit_predict,
+    precompute_tinv,
     predict,
+    sample_predictive,
 )
 from pygpr_tpu.models.likelihood import (
     MLE,

@@ -285,6 +285,22 @@ def bench_large_n(
     jnp.sum(mean).item()
     predict_s = time.perf_counter() - t0
 
+    # --- serving mode: one-time T = L⁻¹, then GEMM-only predicts ----
+    prep = jax.jit(
+        lambda s: exact_gp.precompute_tinv(s, stream=True)
+    )
+    sg_t = jax.block_until_ready(jax.jit(exact_gp.precompute_tinv)(sg))
+    t0 = time.perf_counter()
+    sl_t = prep(sl)
+    jnp.sum(sl_t.tinv[..., 0, 0]).item()
+    precompute_s = time.perf_counter() - t0
+    mean_t, var_t = pq(pg_j, pl_j, sg_t, sl_t, xs_j)
+    jnp.sum(mean_t).item()
+    t0 = time.perf_counter()
+    mean_t, var_t = pq(pg_j, pl_j, sg_t, sl_t, xs_j)
+    jnp.sum(mean_t).item()
+    serve_predict_s = time.perf_counter() - t0
+
     mean, var = np.asarray(mean), np.asarray(var)
     err = mean - ys_noisy
     rmse_true = float(np.sqrt(np.mean((mean - ys_true) ** 2)))
@@ -306,6 +322,9 @@ def bench_large_n(
         "factorize_s": round(factorize_s, 3),
         "predict_s": round(predict_s, 3),
         "predictions_per_s": round(n_query / predict_s, 1),
+        "serving_precompute_s": round(precompute_s, 3),
+        "serving_predict_s": round(serve_predict_s, 3),
+        "serving_predictions_per_s": round(n_query / serve_predict_s, 1),
         "flops_per_query": flops_per_query,
         "rmse_vs_true": round(rmse_true, 4),
         "nlpd": round(nlpd, 3),

@@ -165,6 +165,40 @@ def predict(
     return AggregateResult(res.mean, covars, res.beta, res.prec)
 
 
+def sample_predictive(
+    kern: Kernel,
+    params_g: Array,
+    params_l: Array,
+    state_g: exact_gp.GPState,
+    state_l: exact_gp.GPState,
+    xs: Array,
+    key: Array,
+    n_samples: int = 1,
+    *,
+    mask: Optional[Array] = None,
+    config: Config = DEFAULT,
+    stream: bool = False,
+) -> Array:
+    """Joint draws from the aggregated committee posterior at ``xs``.
+
+    Runs the full-covariance committee predict (the reference's
+    ``aggregate_full_covar`` combination, ``gr_bcm.py:99-114``), then
+    ``f = μ + Lₚ z`` through the jitter ladder.  Returns
+    ``[n_samples, np]``.  No reference analogue (the reference samples
+    the prior only, ``sampler.py:122-137``).
+    """
+    res = predict(
+        kern, params_g, params_l, state_g, state_l, xs, "full",
+        mask=mask, config=config, stream=stream,
+    )
+    lp = linalg.safe_cholesky(res.covar, config).chol
+    z = jax.random.normal(key, (xs.shape[-2], n_samples), dtype=xs.dtype)
+    return (
+        res.mean[None, :]
+        + jnp.matmul(lp, z, precision=config.precision).T
+    )
+
+
 class FitInfo(NamedTuple):
     params_g: Array     #: fitted global-expert hyperparameters [nhp]
     params_l: Array     #: fitted per-expert hyperparameters [nc, nhp]
@@ -319,6 +353,13 @@ class GRBCM:
         self.gpl.set_params(info.params_l)
         self.mask = info.ok_l
         return info
+
+    def prepare_serving(self) -> None:
+        """Precompute ``T = L⁻¹`` on both the global and expert states
+        (``exact_gp.precompute_tinv``): all later predicts are
+        GEMM-only at half the solve flops."""
+        self.gpg.prepare_serving()
+        self.gpl.prepare_serving()
 
     def predict(self, xs, var: str = "diag"):
         self.gpg.update()

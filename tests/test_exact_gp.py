@@ -147,3 +147,131 @@ def test_batched_jitter_ladder_per_matrix(rng):
     np.testing.assert_array_equal(
         np.asarray(res.jitter), np.asarray(res_v.jitter)
     )
+
+
+def test_precompute_tinv_predict_parity(rng):
+    """Serving state (T = L⁻¹ GEMM path) matches the solve path."""
+    from pygpr_tpu import precompute_tinv
+
+    x, y = _data(rng, 100, 3)
+    gp = ExactGP(x, y, Sum((RBF(), WhiteNoise())))
+    gp.update()
+    ys, var = predict(gp.cov, gp.state, x, var="diag")
+    ysf, cov = predict(gp.cov, gp.state, x, var="full")
+    st = precompute_tinv(gp.state)
+    ys2, var2 = predict(gp.cov, st, x, var="diag")
+    ys2f, cov2 = predict(gp.cov, st, x, var="full")
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ys), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var), rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov), rtol=1e-6, atol=1e-10)
+
+
+def test_precompute_tinv_batched(rng):
+    """Batched committee serving state matches per-expert solves."""
+    from pygpr_tpu import precompute_tinv
+
+    nc, n, dim = 3, 40, 2
+    x = jnp.asarray(rng.uniform(size=(nc, n, dim)))
+    y = jnp.sin(-x.sum(-1))
+    cov = Sum((RBF(), WhiteNoise()))
+    p = jnp.ones((cov.n_params(dim),))
+    st = factorize(cov, p, x, y)
+    ys, var = predict(cov, st, x, var="diag")
+    st2 = precompute_tinv(st)
+    ys2, var2 = predict(cov, st2, x, var="diag")
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ys), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var), rtol=1e-7, atol=1e-12)
+
+
+def test_sample_predictive_moments(rng):
+    """Posterior draws reproduce the predictive mean and covariance,
+    and collapse onto the targets at noiseless training points."""
+    from pygpr_tpu import sample_predictive
+
+    x, y = _data(rng, 60, 2)
+    gp = ExactGP(x, y, Sum((RBF(), WhiteNoise())))
+    gp.update()
+    xs = jnp.asarray(rng.uniform(size=(20, 2)))
+    mean, covar = predict(gp.cov, gp.state, xs, var="full")
+
+    import jax
+
+    draws = sample_predictive(
+        gp.cov, gp.state, xs, jax.random.PRNGKey(0), n_samples=4000
+    )
+    assert draws.shape == (4000, 20)
+    emp_mean = jnp.mean(draws, axis=0)
+    emp_cov = jnp.cov(np.asarray(draws).T)
+    np.testing.assert_allclose(
+        np.asarray(emp_mean), np.asarray(mean), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        emp_cov, np.asarray(covar), atol=5e-2
+    )
+
+    # draws at (noiseless) training inputs interpolate the targets
+    d_train = sample_predictive(
+        gp.cov, gp.state, x, jax.random.PRNGKey(1), n_samples=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_train),
+        np.broadcast_to(np.asarray(gp.y), (8, x.shape[0])),
+        atol=5e-2,
+    )
+
+
+def test_sample_predictive_batched(rng):
+    """Committee state: [nc, n_samples, m] with independent per-expert
+    randomness."""
+    from pygpr_tpu import sample_predictive
+
+    import jax
+
+    nc, n, dim = 3, 30, 2
+    x = jnp.asarray(rng.uniform(size=(nc, n, dim)))
+    y = jnp.sin(-x.sum(-1))
+    cov = Sum((RBF(), WhiteNoise()))
+    p = jnp.ones((cov.n_params(dim),))
+    st = factorize(cov, p, x, y)
+    xs = jnp.asarray(rng.uniform(size=(10, dim)))
+    d = sample_predictive(cov, st, xs, jax.random.PRNGKey(0), n_samples=5)
+    assert d.shape == (nc, 5, 10)
+    assert np.isfinite(np.asarray(d)).all()
+    assert not np.allclose(np.asarray(d[0]), np.asarray(d[1]))
+
+
+def test_precompute_tinv_ill_conditioned_f32(rng):
+    """The serving inverse (explicit T = L⁻¹) does not amplify f32
+    error relative to the triangular-solve path, even on a near-
+    singular gram (long lengthscales, reference's hostile σn=1e-4
+    init): both paths are bounded by the f32 gram-build error."""
+    n = 256
+    x = jnp.asarray(rng.uniform(0, 4, (n, 2)).astype(np.float32))
+    y = jnp.sin(x.sum(-1))
+    cov = Sum((RBF(), WhiteNoise()))
+    p = np.ones(4, np.float32)
+    p[1:3] = 3.0   # long inverse-lengthscales → ill-conditioned K
+    p[-1] = 1e-4
+    st = factorize(cov, jnp.asarray(p), x, y)
+    xs = jnp.asarray(rng.uniform(0, 4, (64, 2)).astype(np.float32))
+    m1, v1 = predict(cov, st, xs, var="diag")
+
+    from pygpr_tpu import precompute_tinv
+
+    st2 = precompute_tinv(st)
+    m2, v2 = predict(cov, st2, xs, var="diag")
+
+    # f64 ground truth through the same code path
+    st64 = factorize(
+        cov,
+        jnp.asarray(p.astype(np.float64)),
+        jnp.asarray(np.asarray(x, np.float64)),
+        jnp.asarray(np.asarray(y, np.float64)),
+    )
+    _, v0 = predict(
+        cov, st64, jnp.asarray(np.asarray(xs, np.float64)), var="diag"
+    )
+    err_solve = float(jnp.max(jnp.abs(v1 - v0.astype(jnp.float32))))
+    err_tinv = float(jnp.max(jnp.abs(v2 - v0.astype(jnp.float32))))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert err_tinv <= 2.0 * err_solve + 1e-6, (err_tinv, err_solve)

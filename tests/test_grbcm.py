@@ -209,3 +209,39 @@ def test_shared_fit_stream_matches_vmapped(rng):
     np.testing.assert_allclose(
         np.asarray(r_s.covar), np.asarray(r_v.covar), rtol=1e-5, atol=1e-6
     )
+
+
+def test_committee_sample_predictive_moments(rng):
+    """Draws from the aggregated committee posterior reproduce the
+    aggregate mean and full covariance."""
+    import jax
+
+    from pygpr_tpu.models import exact_gp
+
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    nc, n, ng, dim = 3, 24, 12, 2
+    xl = jnp.asarray(rng.uniform(0, 4, (nc, n, dim)))
+    yl = jnp.sin(xl.sum(-1)) + 0.05 * jnp.asarray(
+        rng.normal(size=(nc, n))
+    )
+    xg = jnp.asarray(rng.uniform(0, 4, (ng, dim)))
+    yg = jnp.sin(xg.sum(-1))
+    x_aug, y_aug = grbcm.augment(xl, yl, xg, yg)
+    pg = cov.init_params(xg)
+    pl = cov.init_params(x_aug)
+    sg = exact_gp.factorize(cov, pg, xg, yg)
+    sl = exact_gp.factorize(cov, pl, x_aug, y_aug)
+    xs = jnp.asarray(rng.uniform(0, 4, (10, dim)))
+
+    res = grbcm.predict(cov, pg, pl, sg, sl, xs, "full")
+    draws = grbcm.sample_predictive(
+        cov, pg, pl, sg, sl, xs, jax.random.PRNGKey(0), n_samples=4000
+    )
+    assert draws.shape == (4000, 10)
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(draws, axis=0)), np.asarray(res.mean),
+        atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.cov(np.asarray(draws).T), np.asarray(res.covar), atol=5e-2
+    )
