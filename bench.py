@@ -68,11 +68,13 @@ def _fetch_latency():
     return min(ts)
 
 
-def _chained_seconds(stepf, init, reps, latency, rounds=3):
+def _chained_seconds(stepf, init, reps, latency, rounds=8):
     """Steady-state seconds/step with serialized device execution.
 
-    Best of ``rounds`` measurement rounds: the remote-tunnel host-side
-    jitter is one-sided (delays only), so min is the robust estimator.
+    Best of ``rounds`` measurement rounds: both the host-side tunnel
+    jitter AND the device-level throughput fluctuation (the shared chip
+    runs up to ~2× slower under contention) are one-sided slowdowns, so
+    min over rounds is the robust estimator of uncontended speed.
     """
     import jax.numpy as jnp
 

@@ -16,7 +16,11 @@ from pygpr_tpu.config import DEFAULT, Config, default_dtype
 from pygpr_tpu.ops.kernels import (
     RBF,
     Kernel,
+    Linear,
     Matern,
+    Periodic,
+    Product,
+    RationalQuadratic,
     Sum,
     WhiteNoise,
     kernel_and_grad,

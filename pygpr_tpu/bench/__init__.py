@@ -235,11 +235,13 @@ def bench_large_n(
 
     # --- shared joint fit (streamed) --------------------------------
     t0 = time.perf_counter()
+    # segment_iters: a remote-tunnel watchdog kills single device
+    # executions past ~200 s; 3 iters ≈ 40 s keeps 5× margin
     info, x_aug, y_aug = grbcm.fit(
         cov,
         jnp.asarray(xl), jnp.asarray(yl),
         jnp.asarray(xg), jnp.asarray(yg),
-        max_iter=fit_iters, shared=True, stream=True,
+        max_iter=fit_iters, shared=True, stream=True, segment_iters=3,
     )
     params_g = np.asarray(info.params_g)
     params_l = np.asarray(info.params_l)

@@ -36,7 +36,12 @@ class Config:
     #: Number of rungs in the escalating jitter ladder: on a failed
     #: factorization retry with jitter * 10**k, k = 0..rungs-1.
     #: (The reference has no ladder; failed Cholesky just raises.)
-    jitter_rungs: int = 5
+    #: 7 rungs reach 1e-1: heavy-tailed kernels (RationalQuadratic at
+    #: its all-ones init) build f32 grams with min-eig ≈ −2e-4 where
+    #: the 1e-3 rung is not enough margin for the TPU Cholesky.  Rungs
+    #: beyond the first engage only after a failed factorization, so
+    #: the depth costs nothing in the common case.
+    jitter_rungs: int = 7
 
     #: Matmul precision for kernel builds and solves on TPU.
     #: "highest" => full f32-equivalent accuracy on the MXU.

@@ -221,6 +221,7 @@ def fit(
     log_space: bool = True,
     shared: bool = False,
     stream: bool = False,
+    segment_iters: Optional[int] = None,
 ) -> Tuple[FitInfo, Array, Array]:
     """Working replacement for the reference's broken ``GRBCM.train``
     (``gr_bcm.py:36-97``): per-expert L-BFGS fits on the augmented
@@ -239,6 +240,14 @@ def fit(
     chip vmapped).  The objective is ``nlml_fast`` whose custom VJP
     stores only the nhp-vector gradient per expert, so reverse-mode
     through the map costs O(nc·nhp) residual memory, not O(nc·n²).
+
+    ``segment_iters`` (shared mode) breaks the L-BFGS loop into
+    host-synced segments of that many iterations.  Needed on remote/
+    tunneled TPU runtimes that kill any single device execution past a
+    wall-clock watchdog (~200 s observed): a BASELINE-scale committee
+    fit is minutes of device time in one ``lax.while_loop`` otherwise.
+    L-BFGS curvature memory restarts per segment (same tradeoff as
+    ``optimize.resumable``), costing a few extra iterations.
 
     Returns ``(FitInfo, x_aug, y_aug)``.
     """
@@ -280,7 +289,33 @@ def fit(
             return jnp.sum(committee_vals(q))
 
         u0 = jnp.log(jnp.abs(params0)) if log_space else params0
-        res_s = minimize_lbfgs(total, u0, max_iter=max_iter, tol=tol)
+        if segment_iters is None:
+            res_s = minimize_lbfgs(total, u0, max_iter=max_iter, tol=tol)
+        else:
+            # jit the segment runner ONCE — the axon PJRT has no
+            # persistent compile cache, so a fresh minimize_lbfgs trace
+            # per segment would re-pay the full compile every ~40 s of
+            # work.  Segments always run segment_iters (the last one may
+            # overshoot max_iter by < segment_iters; L-BFGS stops itself
+            # at convergence) so every call hits the same executable.
+            seg_fn = jax.jit(
+                lambda u: minimize_lbfgs(
+                    total, u, max_iter=segment_iters, tol=tol
+                )
+            )
+            u, done = u0, 0
+            while True:
+                res_s = seg_fn(u)
+                u = res_s.params
+                it = int(res_s.iters)  # transfer = device sync
+                done += it
+                if (
+                    bool(res_s.converged)
+                    or it == 0
+                    or done >= max_iter
+                ):
+                    break
+            res_s = res_s._replace(iters=jnp.asarray(done))
         p_shared = jnp.exp(res_s.params) if log_space else res_s.params
         vals = committee_vals(p_shared)
         res_l = res_s._replace(

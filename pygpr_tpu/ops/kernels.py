@@ -141,6 +141,11 @@ class Kernel:
         b = other.kernels if isinstance(other, Sum) else (other,)
         return Sum(a + b)
 
+    def __mul__(self, other: "Kernel") -> "Product":
+        a = self.kernels if isinstance(self, Product) else (self,)
+        b = other.kernels if isinstance(other, Product) else (other,)
+        return Product(a + b)
+
     def __hash__(self):  # static leaves under jit
         return hash((type(self),))
 
@@ -273,14 +278,10 @@ class Matern(Kernel):
         return krn, jnp.moveaxis(jac, -1, 0)
 
 
-class Sum(Kernel):
-    """Sum-of-kernels combinator, reference ``Compose`` (``covar.py:28``).
-
-    Hyperparameter vectors of the sub-kernels are concatenated along the
-    last axis (``covar.py:45-48``) and split by per-kernel chunk sizes
-    (``covar.py:54-55``); gradients concatenate along the ``nhp`` axis
-    (``covar.py:71-81``).
-    """
+class _Compose(Kernel):
+    """Shared machinery for kernel combinators: concatenated parameter
+    vectors split by per-kernel chunk sizes (reference ``Compose``,
+    ``covar.py:45-48``, ``:54-55``)."""
 
     def __init__(self, kernels: Sequence[Kernel]):
         self.kernels: Tuple[Kernel, ...] = tuple(kernels)
@@ -290,7 +291,7 @@ class Sum(Kernel):
 
     def __eq__(self, other):
         return (
-            type(other) is Sum and self.kernels == other.kernels
+            type(other) is type(self) and self.kernels == other.kernels
         )
 
     def n_params(self, dim: int) -> int:
@@ -309,6 +310,16 @@ class Sum(Kernel):
     def init_params(self, x: Array, config: Config = DEFAULT) -> Array:
         parts = [k.init_params(x, config) for k in self.kernels]
         return jnp.concatenate(parts, axis=-1)
+
+
+class Sum(_Compose):
+    """Sum-of-kernels combinator, reference ``Compose`` (``covar.py:28``).
+
+    Hyperparameter vectors of the sub-kernels are concatenated along the
+    last axis (``covar.py:45-48``) and split by per-kernel chunk sizes
+    (``covar.py:54-55``); gradients concatenate along the ``nhp`` axis
+    (``covar.py:71-81``).
+    """
 
     def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
         dim = x.shape[-1]
@@ -338,6 +349,189 @@ class Sum(Kernel):
             krn = km if krn is None else krn + km
             dkrns.append(dk)
         return krn, jnp.concatenate(dkrns, axis=0)
+
+
+class Product(_Compose):
+    """Element-wise product of kernels (beyond-reference capability —
+    the reference's ``Compose`` supports sums only, ``covar.py:57-62``).
+
+    Same concatenated-parameter convention as :class:`Sum`.  Gradients
+    use the product rule, reusing each sub-kernel's analytic
+    ``matrix_and_grad``: ``∂(∏Kⱼ)/∂θᵢ = (∂Kᵢ/∂θᵢ) ⊙ ∏_{j≠i} Kⱼ``.
+    """
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        out = None
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            term = k.matrix(params[lo:hi], x, xp, config=config)
+            out = term if out is None else out * term
+        return out
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        out = None
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            term = k.diag(params[lo:hi], x, config=config)
+            out = term if out is None else out * term
+        return out
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        ks, dks = [], []
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            km, dk = k.matrix_and_grad(params[lo:hi], x, config=config)
+            ks.append(km)
+            dks.append(dk)
+        m = len(ks)
+        # prefix[i] = K₀⊙…⊙Kᵢ₋₁, suffix[i] = Kᵢ₊₁⊙…⊙K_{m−1}
+        prefix, suffix = [None] * m, [None] * m
+        acc = None
+        for i in range(m):
+            prefix[i] = acc
+            acc = ks[i] if acc is None else acc * ks[i]
+        krn = acc
+        acc = None
+        for i in reversed(range(m)):
+            suffix[i] = acc
+            acc = ks[i] if acc is None else ks[i] * acc
+        dkrns = []
+        for i in range(m):
+            rest = prefix[i]
+            if suffix[i] is not None:
+                rest = suffix[i] if rest is None else rest * suffix[i]
+            dkrns.append(dks[i] if rest is None else dks[i] * rest[None])
+        return krn, jnp.concatenate(dkrns, axis=0)
+
+
+class RationalQuadratic(Kernel):
+    """ARD rational-quadratic kernel (beyond-reference capability).
+
+    ``K = σ² (1 + r²/α²)^(−α²)`` with ``r² = ‖(x−x')⊙ℓ‖²`` — a scale
+    mixture of :class:`RBF` kernels over lengthscales; recovers this
+    package's RBF (which has **no ½ factor** in the exponent, matching
+    the reference ``covar.py:147-149``) as α→∞.  Params
+    ``[σ, α, ℓ₁..ℓ_d]`` (nhp = d+2), init all-ones.
+    The mixture index enters as α² so every parameter is sign-invariant,
+    matching the house convention (σ and ℓ enter squared too) — the
+    log-space optimizer (``fit_mle``) then needs no special casing.
+    Gradients via forward-mode autodiff (FD-checked).
+    """
+
+    def n_params(self, dim: int) -> int:
+        return dim + 2
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        sig, alpha = params[0], params[1]
+        ls = params[2:]
+        xl = x * ls
+        xpl = None if xp is None else xp * ls
+        sqd = sq_distance(xl, xpl, precision=config.precision)
+        # clamp α² away from under/overflow: a2→0 gives 0·log1p(inf)=NaN
+        # and a2→inf gives inf·log1p(0)=NaN, both reachable when the
+        # log-space optimizer's line search probes extreme exponents
+        # (f32).  The bound must keep a2² inside f32 range too — the
+        # quotient-rule JVP divides by a2², and 1e-40 underflows to a
+        # 0/0 NaN.  At the clamp ends the kernel smoothly saturates to
+        # the constant (a2→0) / RBF (a2→inf) limits.
+        a2 = jnp.clip(jnp.square(alpha), 1e-12, 1e12)
+        return jnp.square(sig) * jnp.exp(-a2 * jnp.log1p(sqd / a2))
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
+        return krn, jnp.moveaxis(jac, -1, 0)
+
+
+class Periodic(Kernel):
+    """ARD exp-sine-squared kernel (beyond-reference capability),
+    computed MXU-first through an explicit feature map.
+
+    ``K = σ² exp(−2 Σⱼ ℓⱼ² sin²(π ωⱼ (xⱼ−x'ⱼ)))`` with inverse periods
+    ωⱼ multiplying x (the house inverse-lengthscale convention).  Params
+    ``[σ, ℓ₁..ℓ_d, ω₁..ω_d]`` (nhp = 2d+1), init all-ones.
+
+    Instead of materializing the ``[d, m, n]`` pairwise-difference
+    tensor, the exponent is rewritten via
+    ``−2ℓ²sin²(u/2) = ℓ²(cos u − 1)`` and the angle-difference identity
+    into a single ``[m, 2d]·[2d, n]`` MXU matmul of the feature map
+    ``φ(x) = [ℓ⊙cos(2πω⊙x), ℓ⊙sin(2πω⊙x)]``:
+    ``K = σ² exp(φ(x')φ(x)ᵀ − ‖ℓ‖²)`` — the same structural trick as the
+    squared-distance matmul (``covar.py:110``).  Gradients via
+    forward-mode autodiff (FD-checked).
+    """
+
+    def n_params(self, dim: int) -> int:
+        return 2 * dim + 1
+
+    def _features(self, params, x):
+        dim = x.shape[-1]
+        ls = params[1 : 1 + dim]
+        om = params[1 + dim :]
+        u = (2.0 * jnp.pi) * (x * om)
+        return jnp.concatenate([ls * jnp.cos(u), ls * jnp.sin(u)], axis=-1)
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        sig = params[0]
+        ls = params[1 : 1 + dim]
+        fx = self._features(params, x)
+        fxp = fx if xp is None else self._features(params, xp)
+        g = jnp.dot(fxp, fx.T, precision=config.precision)
+        expo = jnp.minimum(g - jnp.sum(jnp.square(ls)), 0.0)
+        return jnp.square(sig) * jnp.exp(expo)
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
+        return krn, jnp.moveaxis(jac, -1, 0)
+
+
+class Linear(Kernel):
+    """ARD linear (dot-product) kernel (beyond-reference capability):
+    Bayesian linear regression as a GP, and the polynomial-trend factor
+    in products like ``Linear() * Periodic()``.
+
+    ``K = σ² (x⊙ℓ)(x'⊙ℓ)ᵀ`` — one MXU matmul.  Params ``[σ, ℓ₁..ℓ_d]``,
+    init all-ones.  Analytic gradients: ``∂K/∂σ = 2K/σ``,
+    ``∂K/∂ℓⱼ = 2ℓⱼ σ² xⱼx'ⱼᵀ``.
+    """
+
+    def n_params(self, dim: int) -> int:
+        return dim + 1
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xl = x * ls
+        xpl = xl if xp is None else xp * ls
+        return jnp.square(sig) * jnp.dot(
+            xpl, xl.T, precision=config.precision
+        )
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        sig = params[0]
+        return jnp.square(sig) * jnp.sum(
+            jnp.square(x * params[1:]), axis=-1
+        )
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        krn = self.matrix(params, x, config=config)
+        dsig = krn * (2.0 / sig)
+        outer = x.T[:, :, None] * x.T[:, None, :]            # [d, n, n]
+        dls = (2.0 * jnp.square(sig) * ls[:, None, None]) * outer
+        return krn, jnp.concatenate([dsig[None], dls], axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -245,3 +245,29 @@ def test_committee_sample_predictive_moments(rng):
     np.testing.assert_allclose(
         np.cov(np.asarray(draws).T), np.asarray(res.covar), atol=5e-2
     )
+
+
+def test_shared_fit_segmented_matches_unsegmented(rng):
+    """segment_iters host-syncs the shared L-BFGS without changing the
+    optimum (curvature memory restarts per segment — tolerance is on
+    the reached objective, not the trajectory)."""
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    nc, n, ng, dim = 3, 40, 16, 2
+    xl = jnp.asarray(rng.uniform(0, 4, (nc, n, dim)))
+    yl = jnp.sin(xl.sum(-1)) + 0.05 * jnp.asarray(rng.normal(size=(nc, n)))
+    xg = jnp.asarray(rng.uniform(0, 4, (ng, dim)))
+    yg = jnp.sin(xg.sum(-1))
+    info_full, _, _ = grbcm.fit(
+        cov, xl, yl, xg, yg, max_iter=60, shared=True
+    )
+    info_seg, _, _ = grbcm.fit(
+        cov, xl, yl, xg, yg, max_iter=60, shared=True, segment_iters=7
+    )
+    total_full = float(jnp.sum(info_full.nlml_l))
+    total_seg = float(jnp.sum(info_seg.nlml_l))
+    assert total_seg <= total_full + 0.5, (total_seg, total_full)
+    np.testing.assert_allclose(
+        np.asarray(info_seg.params_l[0]),
+        np.asarray(info_full.params_l[0]),
+        rtol=0.2,
+    )

@@ -145,3 +145,180 @@ def test_init_params_parity(rng):
     xb = _rand(rng, 5, 10, 3)
     pb = cov.init_params(xb)
     assert pb.shape == (5, 5)
+
+
+# ---------------------------------------------------------------------------
+# Extended kernel family (beyond-reference: Product, RQ, Periodic, Linear)
+# ---------------------------------------------------------------------------
+
+from pygpr_tpu import Linear, Periodic, Product, RationalQuadratic
+
+
+EXTENDED = (
+    RationalQuadratic(),
+    Periodic(),
+    Linear(),
+    Product((RBF(), RBF())),
+    Product((Linear(), Periodic())),
+    Sum((Product((RBF(), Periodic())), WhiteNoise())),
+)
+
+
+@pytest.mark.parametrize("cov", EXTENDED, ids=lambda c: type(c).__name__)
+def test_extended_symmetry_and_psd(cov, rng):
+    n, dim = 40, 3
+    x = _rand(rng, n, dim)
+    hp = 0.5 + _rand(rng, cov.n_params(dim))
+    krn = np.asarray(kernel_matrix(cov, hp, x))
+    np.testing.assert_allclose(krn, krn.T, atol=1e-10)
+    eig = np.linalg.eigvalsh(krn + 1e-7 * np.eye(n))
+    assert np.all(eig > -1e-7)
+
+
+@pytest.mark.parametrize("cov", EXTENDED, ids=lambda c: type(c).__name__)
+def test_extended_grad_matches_autodiff(cov, rng):
+    n, dim = 20, 2
+    x = _rand(rng, n, dim)
+    hp = 0.5 + _rand(rng, cov.n_params(dim))
+    _, dkrn = kernel_and_grad(cov, hp, x)
+    jac = jax.jacfwd(lambda p: kernel_matrix(cov, p, x))(hp)
+    np.testing.assert_allclose(
+        np.asarray(dkrn), np.moveaxis(np.asarray(jac), -1, 0), atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("cov", EXTENDED, ids=lambda c: type(c).__name__)
+def test_extended_diag_and_cross(cov, rng):
+    n, m, dim = 25, 9, 3
+    x = _rand(rng, n, dim)
+    xp = _rand(rng, m, dim)
+    hp = 0.5 + _rand(rng, cov.n_params(dim))
+    full = np.asarray(kernel_matrix(cov, hp, x))
+    from pygpr_tpu import kernel_diag
+
+    np.testing.assert_allclose(
+        np.diag(full), np.asarray(kernel_diag(cov, hp, x)), atol=1e-10
+    )
+    cross = kernel_matrix(cov, hp, x, xp)
+    assert cross.shape == (m, n)
+
+
+def test_product_is_elementwise_product(rng):
+    n, dim = 30, 2
+    x = _rand(rng, n, dim)
+    parts = (RBF(), Periodic())
+    cov = Product(parts)
+    hp = 0.5 + _rand(rng, cov.n_params(dim))
+    krn = np.asarray(kernel_matrix(cov, hp, x))
+    expect = np.ones_like(krn)
+    off = 0
+    for k in parts:
+        nh = k.n_params(dim)
+        expect = expect * np.asarray(kernel_matrix(k, hp[off:off + nh], x))
+        off += nh
+    np.testing.assert_allclose(krn, expect, atol=1e-12)
+    # operator sugar builds the same object
+    assert RBF() * Periodic() == Product((RBF(), Periodic()))
+    assert RBF() + Periodic() == Sum((RBF(), Periodic()))
+
+
+def test_periodic_feature_map_matches_naive(rng):
+    """The MXU feature-map form equals the textbook exp-sine-squared."""
+    n, m, dim = 22, 7, 3
+    x = _rand(rng, n, dim)
+    xp = _rand(rng, m, dim)
+    cov = Periodic()
+    hp = 0.5 + _rand(rng, cov.n_params(dim))
+    sig, ls, om = hp[0], hp[1:1 + dim], hp[1 + dim:]
+    diff = np.asarray(xp)[:, None, :] - np.asarray(x)[None, :, :]
+    s2 = np.sin(np.pi * np.asarray(om) * diff) ** 2
+    naive = float(sig) ** 2 * np.exp(
+        -2.0 * np.sum(np.asarray(ls) ** 2 * s2, axis=-1)
+    )
+    krn = np.asarray(kernel_matrix(cov, hp, x, xp))
+    np.testing.assert_allclose(krn, naive, atol=1e-10)
+    # exactly periodic: shifting x by a whole period changes nothing
+    shift = np.zeros(dim); shift[0] = 1.0 / float(om[0])
+    krn_shift = np.asarray(
+        kernel_matrix(cov, hp, x, xp + jnp.asarray(shift))
+    )
+    np.testing.assert_allclose(krn_shift, krn, atol=1e-8)
+
+
+def test_rq_approaches_rbf_at_large_alpha(rng):
+    n, dim = 30, 2
+    x = _rand(rng, n, dim)
+    sig, ls = 1.3, np.asarray([0.7, 1.4])
+    hp_rq = jnp.asarray(np.concatenate([[sig, 30.0], ls]))
+    hp_rbf = jnp.asarray(np.concatenate([[sig], ls]))
+    krq = np.asarray(kernel_matrix(RationalQuadratic(), hp_rq, x))
+    krbf = np.asarray(kernel_matrix(RBF(), hp_rbf, x))
+    np.testing.assert_allclose(krq, krbf, atol=2e-3)
+
+
+def test_extended_batched_equals_stacked(rng):
+    nc, n, dim = 3, 18, 2
+    cov = Sum((Product((RBF(), Periodic())), WhiteNoise()))
+    xb = _rand(rng, nc, n, dim)
+    hpb = 0.5 + _rand(rng, nc, cov.n_params(dim))
+    krn_b, dkrn_b = kernel_and_grad(cov, hpb, xb)
+    for i in range(nc):
+        k1, dk1 = kernel_and_grad(cov, hpb[i], xb[i])
+        np.testing.assert_allclose(np.asarray(krn_b[i]), np.asarray(k1), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(dkrn_b[i]), np.asarray(dk1), atol=1e-12)
+
+
+def test_extended_end_to_end_fit(rng):
+    """A periodic signal fit with Periodic beats RBF on extrapolation,
+    and the full fit_mle pipeline runs on every extended kernel."""
+    from pygpr_tpu import fit_mle, fit_predict
+
+    # 8 observed periods at noise 0.05: enough to identify the
+    # frequency (shorter signals admit spiky ℓ local optima where the
+    # MLE is honestly ambiguous)
+    n = 200
+    x = np.sort(rng.uniform(0, 8, (n, 1)), axis=0)
+    y = np.sin(2 * np.pi * x[:, 0]) + 0.05 * rng.normal(size=n)
+    xs = np.linspace(8.2, 10.0, 40)[:, None]  # extrapolation region
+    ys = np.sin(2 * np.pi * xs[:, 0])
+
+    def fit_rmse(cov):
+        p0 = cov.init_params(jnp.asarray(x))
+        res = fit_mle(
+            cov, p0, jnp.asarray(x), jnp.asarray(y), max_iter=100
+        )
+        mean, _ = fit_predict(
+            cov, res.params, jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(xs), var="diag",
+        )
+        return float(np.sqrt(np.mean((np.asarray(mean) - ys) ** 2)))
+
+    rmse_per = fit_rmse(Sum((Periodic(), WhiteNoise())))
+    rmse_rbf = fit_rmse(Sum((RBF(), WhiteNoise())))
+    assert rmse_per < 0.1, rmse_per
+    assert rmse_per < rmse_rbf
+
+
+def test_rq_extreme_alpha_finite(rng):
+    """α² under/overflow (log-space line searches probe these) must
+    saturate smoothly, not NaN (f32 TPU failure mode)."""
+    x = jnp.asarray(rng.uniform(size=(30, 2)).astype(np.float32))
+    cov = RationalQuadratic()
+    for alpha in (1e-15, 1e-3, 1.0, 1e3, 1e15):
+        hp = jnp.asarray(np.array([1.0, alpha, 0.8, 1.2], np.float32))
+        krn = np.asarray(kernel_matrix(cov, hp, x))
+        assert np.isfinite(krn).all(), alpha
+        jac = jax.jacfwd(lambda p: kernel_matrix(cov, p, x))(hp)
+        assert np.isfinite(np.asarray(jac)).all(), alpha
+    # saturation limits: constant at a2→0, RBF at a2→inf
+    hp_lo = jnp.asarray(np.array([1.0, 1e-15, 0.8, 1.2], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(kernel_matrix(cov, hp_lo, x)), 1.0, atol=1e-5
+    )
+    hp_hi = jnp.asarray(np.array([1.0, 1e15, 0.8, 1.2], np.float32))
+    krbf = np.asarray(
+        kernel_matrix(RBF(), jnp.asarray(np.array([1.0, 0.8, 1.2], np.float32)), x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel_matrix(cov, hp_hi, x)), krbf, atol=1e-5
+    )
