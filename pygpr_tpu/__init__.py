@@ -54,7 +54,8 @@ from pygpr_tpu.models.likelihood import (
     nlml_value_and_grad,
 )
 from pygpr_tpu.models.grbcm import GRBCM
-from pygpr_tpu.models import grbcm
+from pygpr_tpu.models.sgpr import SGPR
+from pygpr_tpu.models import grbcm, sgpr
 from pygpr_tpu.models.likelihood import log_likelihood_batched
 from pygpr_tpu.optimize import (
     CG,

@@ -411,3 +411,92 @@ def million_point_mesh_run(
         "all_finite": True,
         "nlml_sum": round(float(np.sum(np.asarray(nlml_l))), 1),
     }
+
+
+def bench_sgpr_large_n(
+    n: int = 98304,
+    m: int = 1024,
+    n_query: int = 8192,
+    dim: int = 2,
+    fit_iters: int = 60,
+    seed: int = 0,
+) -> dict:
+    """SGPR at N≈100k on ONE chip — the low-rank counterpart of
+    ``bench_large_n`` (same generative function, same N and query set,
+    so the two JSON lines are directly comparable).
+
+    The whole fit is ONE XLA while_loop: each ELBO eval is two tall
+    [m, n] GEMM/TRSMs (O(n·m²)), far under the remote-tunnel watchdog
+    even at 60 iterations.  Serving state is m-sized — no n-sized
+    arrays survive the fit.
+    """
+    import time
+
+    import pygpr_tpu as gp
+    from pygpr_tpu.models import sgpr
+
+    rng = np.random.default_rng(seed)
+
+    def f(x):
+        return np.sin(2.0 * x.sum(-1)) + 0.5 * np.cos(5.0 * x[..., 0])
+
+    x = rng.uniform(0, 4, (n, dim)).astype(np.float32)
+    y = (f(x) + 0.1 * rng.normal(size=n)).astype(np.float32)
+    xs = rng.uniform(0, 4, (n_query, dim)).astype(np.float32)
+    ys_true = f(xs)
+    ys_noisy = (ys_true + 0.1 * rng.normal(size=n_query)).astype(
+        np.float32
+    )
+
+    cov = gp.RBF()
+    z = jnp.asarray(sgpr.init_inducing(x, m, seed=seed))
+    x_j, y_j = jnp.asarray(x), jnp.asarray(y)
+    p0 = sgpr.init_params(cov, x_j)
+
+    fitf = jax.jit(
+        lambda p, xx, yy: sgpr.fit(
+            cov, p, xx, yy, z, max_iter=fit_iters
+        )[0]
+    )
+    t0 = time.perf_counter()
+    res = fitf(p0, x_j, y_j)
+    params = np.asarray(res.params)  # fetch = device sync
+    fit_s = time.perf_counter() - t0
+    iters = int(res.iters)
+
+    fac = jax.jit(lambda p, xx, yy: sgpr.factorize(cov, p, xx, yy, z))
+    st = fac(jnp.asarray(params), x_j, y_j)
+    np.asarray(st.c)  # compiled + done
+    t0 = time.perf_counter()
+    st = fac(jnp.asarray(params), x_j, y_j)
+    np.asarray(st.c)
+    factorize_s = time.perf_counter() - t0
+
+    pq = jax.jit(lambda s, q: sgpr.predict(cov, s, q, "diag"))
+    xs_j = jnp.asarray(xs)
+    mean, var = pq(st, xs_j)
+    np.asarray(mean)
+    t0 = time.perf_counter()
+    mean, var = pq(st, xs_j)
+    mean, var = np.asarray(mean), np.asarray(var)
+    predict_s = time.perf_counter() - t0
+
+    err = mean - ys_noisy
+    rmse_true = float(np.sqrt(np.mean((mean - ys_true) ** 2)))
+    nlpd = float(
+        np.mean(0.5 * np.log(2 * np.pi * var) + err**2 / (2 * var))
+    )
+    return {
+        "metric": "sgpr_large_n_single_chip",
+        "n_total": n,
+        "inducing": m,
+        "fit_s": round(fit_s, 2),
+        "fit_iters_taken": iters,
+        "neg_elbo": round(float(res.value), 1),
+        "factorize_s": round(factorize_s, 3),
+        "predict_s": round(predict_s, 4),
+        "predictions_per_s": round(n_query / predict_s, 1),
+        "rmse_vs_true": round(rmse_true, 4),
+        "nlpd": round(nlpd, 3),
+        "params": [round(float(v), 4) for v in params],
+    }

@@ -5,6 +5,9 @@
   --large-n     BASELINE config 4: grBCM N≈100k, 16 experts, one chip
                 (streamed); prints factorize time, predictions/s,
                 RMSE/NLPD as one JSON line.
+  --sgpr        SGPR (Titsias) at N≈100k, m=1024 inducing points, one
+                chip — directly comparable to the --large-n grBCM row
+                (same generative function, N, and query set).
   --million     BASELINE config 5 correctness artifact: grBCM N=1M,
                 experts sharded over the device mesh.  Run on CPU with
                 8 virtual devices via
@@ -48,6 +51,10 @@ def _main():
         from pygpr_tpu.bench import bench_large_n
 
         print(json.dumps(bench_large_n()), flush=True)
+    elif "--sgpr" in args:
+        from pygpr_tpu.bench import bench_sgpr_large_n
+
+        print(json.dumps(bench_sgpr_large_n()), flush=True)
     else:
         from pygpr_tpu.bench import main
 

@@ -15,3 +15,4 @@ from pygpr_tpu.models.likelihood import (
     nlml_value_and_grad,
 )
 from pygpr_tpu.models.grbcm import GRBCM
+from pygpr_tpu.models.sgpr import SGPR

@@ -12,6 +12,11 @@ from pygpr_tpu.parallel.sharded import (
     grbcm_predict_sharded,
     mcmc_sharded,
 )
+from pygpr_tpu.parallel.data_parallel import (
+    sgpr_fit_dp,
+    sgpr_neg_elbo_dp,
+    sgpr_predict_dp,
+)
 from pygpr_tpu.parallel.dist_cholesky import (
     dist_cholesky,
     dist_cholesky_solve,
