@@ -55,7 +55,8 @@ from pygpr_tpu.models.likelihood import (
 )
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.sgpr import SGPR
-from pygpr_tpu.models import grbcm, sgpr
+from pygpr_tpu.models.iterative import IterativeGP
+from pygpr_tpu.models import grbcm, iterative, sgpr
 from pygpr_tpu.models.likelihood import log_likelihood_batched
 from pygpr_tpu.optimize import (
     CG,

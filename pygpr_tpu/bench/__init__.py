@@ -413,6 +413,95 @@ def million_point_mesh_run(
     }
 
 
+def bench_iterative_large_n(
+    n: int = 32768,
+    dim: int = 2,
+    num_probes: int = 8,
+    rank: int = 64,
+    block: int = 4096,
+    max_cg: int = 64,
+    n_query: int = 2048,
+    seed: int = 0,
+) -> dict:
+    """Matrix-free exact-GP NLML value+grad at N=32k on ONE chip.
+
+    The dense pipeline at this n needs a 4.3 GB gram + 1.2e13 FLOPs of
+    Cholesky per eval (reference ``loss.py:96-97``); the Krylov path
+    (``models/iterative.py``) replaces it with ~(cg + lanczos + 2)
+    blocked matvecs of 2n²·cols FLOPs each and no n×n array.
+    """
+    import time
+
+    import pygpr_tpu as gp
+    from pygpr_tpu.models import iterative
+
+    rng = np.random.default_rng(seed)
+
+    def f(x):
+        return np.sin(2.0 * x.sum(-1))
+
+    x = rng.uniform(0, 4, (n, dim)).astype(np.float32)
+    y = (f(x) + 0.1 * rng.normal(size=n)).astype(np.float32)
+    xs = rng.uniform(0, 4, (n_query, dim)).astype(np.float32)
+    probes = jnp.asarray(iterative.make_probes(n, num_probes, seed))
+    cov = gp.RBF()
+    params = jnp.asarray(np.r_[np.ones(dim + 1), 0.1].astype(np.float32))
+    x_j, y_j = jnp.asarray(x), jnp.asarray(y)
+
+    num_lanczos = 16
+    vg = jax.jit(
+        lambda p, xx, yy, zz: iterative.nlml_value_and_grad(
+            cov, p, xx, yy, zz,
+            rank=rank, num_lanczos=num_lanczos,
+            cg_tol=1e-4, max_cg=max_cg, block=block,
+        )
+    )
+    v, g = vg(params, x_j, y_j, probes)
+    v0 = float(v)  # fetch = sync
+    t0 = time.perf_counter()
+    v, g = vg(params, x_j, y_j, probes)
+    float(v)
+    eval_s = time.perf_counter() - t0
+
+    # matvec passes: CG (≤max_cg its × (1+p) cols is one [n,1+p]
+    # matvec each), Lanczos (num_lanczos × p cols), surrogate fwd+vjp
+    # (2 × (1+p)); each col-pass costs ~2n²(d+1) FLOPs of distance+GEMM
+    cols_cg = max_cg * (1 + num_probes)
+    cols_slq = num_lanczos * num_probes
+    cols_grad = 4 * (1 + num_probes)
+    flops = 2.0 * n * n * (dim + 1) * (cols_cg + cols_slq + cols_grad) / (
+        1 + num_probes
+    )  # ÷(1+p): the [n, k] GEMM shares one distance tile across cols
+
+    mean_f = jax.jit(
+        lambda p, q: iterative.predict(
+            cov, p, x_j, y_j, q,
+            var="none", rank=rank, cg_tol=1e-4, max_cg=max_cg,
+            block=block,
+        )[0]
+    )
+    m0 = mean_f(params, jnp.asarray(xs))
+    np.asarray(m0)
+    t0 = time.perf_counter()
+    mean = np.asarray(mean_f(params, jnp.asarray(xs)))
+    predict_s = time.perf_counter() - t0
+    rmse = float(np.sqrt(np.mean((mean - f(xs)) ** 2)))
+
+    return {
+        "metric": "iterative_exact_gp_n32768_single_chip",
+        "n_total": n,
+        "eval_s": round(eval_s, 3),
+        "evals_per_s": round(1.0 / eval_s, 3),
+        "nlml": round(v0, 1),
+        "grad_finite": bool(np.isfinite(np.asarray(g)).all()),
+        "approx_tflops": round(flops / eval_s / 1e12, 2),
+        "mean_predict_s": round(predict_s, 3),
+        "rmse_vs_true": round(rmse, 4),
+        "note": "no n×n array exists; dense gram would be "
+        f"{round(4.0 * n * n / 2**30, 1)} GiB",
+    }
+
+
 def bench_sgpr_large_n(
     n: int = 98304,
     m: int = 1024,

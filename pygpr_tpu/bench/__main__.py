@@ -5,6 +5,9 @@
   --large-n     BASELINE config 4: grBCM N≈100k, 16 experts, one chip
                 (streamed); prints factorize time, predictions/s,
                 RMSE/NLPD as one JSON line.
+  --iterative   matrix-free exact GP at N=32k on one chip: Krylov
+                NLML value+grad (CG + SLQ) with no n×n array; prints
+                evals/s and matrix-free predict time as one JSON line.
   --sgpr        SGPR (Titsias) at N≈100k, m=1024 inducing points, one
                 chip — directly comparable to the --large-n grBCM row
                 (same generative function, N, and query set).
@@ -55,6 +58,10 @@ def _main():
         from pygpr_tpu.bench import bench_sgpr_large_n
 
         print(json.dumps(bench_sgpr_large_n()), flush=True)
+    elif "--iterative" in args:
+        from pygpr_tpu.bench import bench_iterative_large_n
+
+        print(json.dumps(bench_iterative_large_n()), flush=True)
     else:
         from pygpr_tpu.bench import main
 

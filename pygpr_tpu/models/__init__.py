@@ -16,3 +16,4 @@ from pygpr_tpu.models.likelihood import (
 )
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.sgpr import SGPR
+from pygpr_tpu.models.iterative import IterativeGP
