@@ -370,17 +370,27 @@ def slq_logdet(
     return jnp.mean(znorm2 * quad)
 
 
-def _solver_pieces(kern, params, x, rank, block, config):
+def _default_matvec(kern, x, block, config):
+    """The single-device matvec factory: ``mv(params, v)``."""
+    return lambda p, v: gram_matvec(
+        kern, p, x, v, block=block, config=config
+    )
+
+
+def _solver_pieces(kern, params, x, rank, block, config, matvec=None):
     """Preconditioner + matvec closures at STOPPED-gradient params —
     solver internals are implementation detail, not part of the
-    differentiated objective."""
+    differentiated objective.  ``matvec(params, v)`` may be injected
+    (e.g. the mesh-sharded one, ``parallel/iterative_dp.py``)."""
+    if matvec is None:
+        matvec = _default_matvec(kern, x, block, config)
     p_sg = lax.stop_gradient(params)
     sn = p_sg[-1]
     sn2 = sn * sn + jnp.asarray(config.jitter, x.dtype)
     L = pivoted_cholesky(kern, p_sg[:-1], x, rank, config=config)
     pre = make_preconditioner(L, sn2, x.shape[0])
-    mv = lambda v: gram_matvec(kern, p_sg, x, v, block=block, config=config)
-    return pre, mv
+    mv = lambda v: matvec(p_sg, v)
+    return pre, mv, matvec
 
 
 def nlml_value_and_grad(
@@ -396,6 +406,7 @@ def nlml_value_and_grad(
     max_cg: int = 512,
     block: int = 2048,
     config: Config = DEFAULT,
+    matvec: Optional[Callable[[Array, Array], Array]] = None,
 ) -> Tuple[Array, Array]:
     """Estimated NLML value and gradient with no O(n³) step.
 
@@ -411,7 +422,9 @@ def nlml_value_and_grad(
     """
     _check_noise_free(kern)
     n = y.shape[0]
-    pre, mv = _solver_pieces(kern, params, x, rank, block, config)
+    pre, mv, matvec = _solver_pieces(
+        kern, params, x, rank, block, config, matvec
+    )
 
     B = jnp.concatenate([y[:, None], probes], axis=1)
     sol, _ = cg_solve(
@@ -432,8 +445,8 @@ def nlml_value_and_grad(
     num_probes = probes.shape[1]
 
     def surrogate(p):
-        k_alpha = gram_matvec(kern, p, x, alpha, block=block, config=config)
-        k_z = gram_matvec(kern, p, x, probes, block=block, config=config)
+        k_alpha = matvec(p, alpha)
+        k_z = matvec(p, probes)
         quad = -0.5 * jnp.dot(alpha, k_alpha)
         trace = 0.5 * jnp.sum(U * k_z) / num_probes
         return quad + trace
@@ -457,6 +470,7 @@ def fit(
     learning_rate: float = 0.05,
     iters: int = 100,
     config: Config = DEFAULT,
+    matvec: Optional[Callable[[Array, Array], Array]] = None,
 ):
     """Adam in log-space on the estimated NLML gradient.
 
@@ -479,6 +493,7 @@ def fit(
             kern, p, x, y, probes,
             rank=rank, num_lanczos=num_lanczos,
             cg_tol=cg_tol, max_cg=max_cg, block=block, config=config,
+            matvec=matvec,
         )
         gu = g * p  # d/d(log p)
         upd, ostate = opt.update(gu, ostate, u)
@@ -520,7 +535,7 @@ def predict(
             "iterative.predict is matrix-free; full posterior "
             "covariance is dense — use models.exact_gp for that."
         )
-    pre, mv = _solver_pieces(kern, params, x, rank, block, config)
+    pre, mv, _ = _solver_pieces(kern, params, x, rank, block, config)
     alpha, _ = cg_solve(
         mv, y[:, None], precond_inv=pre.apply_inv,
         tol=cg_tol, max_iter=max_cg,

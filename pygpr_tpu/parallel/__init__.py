@@ -17,6 +17,11 @@ from pygpr_tpu.parallel.data_parallel import (
     sgpr_neg_elbo_dp,
     sgpr_predict_dp,
 )
+from pygpr_tpu.parallel.iterative_dp import (
+    fit_dp as iterative_fit_dp,
+    make_matvec_dp,
+    nlml_value_and_grad_dp,
+)
 from pygpr_tpu.parallel.dist_cholesky import (
     dist_cholesky,
     dist_cholesky_solve,
