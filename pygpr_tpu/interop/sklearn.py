@@ -25,9 +25,15 @@ from pygpr_tpu.models.exact_gp import ExactGP
 
 
 class SKWrap(RegressorMixin, BaseEstimator):
-    """sklearn Regressor facade over :class:`ExactGP`."""
+    """sklearn Regressor facade over any house GP model.
 
-    def __init__(self, model: ExactGP, optimize: bool = False,
+    Accepts :class:`ExactGP` (reference parity) and, beyond the
+    reference, any model with the ``set_data``/``train``/``predict``
+    OO contract (:class:`~pygpr_tpu.models.sgpr.SGPR`,
+    :class:`~pygpr_tpu.models.iterative.IterativeGP`).
+    """
+
+    def __init__(self, model, optimize: bool = False,
                  max_iter: int = 200):
         self.model = model
         self.optimize = optimize
@@ -36,17 +42,20 @@ class SKWrap(RegressorMixin, BaseEstimator):
     def fit(self, x, y):
         self.model.set_data(jnp.asarray(x), jnp.asarray(y))
         if self.optimize:
-            from pygpr_tpu.optimize.lbfgs import fit_mle
+            if hasattr(self.model, "train"):
+                self.model.train(max_iter=self.max_iter)
+            else:
+                from pygpr_tpu.optimize.lbfgs import fit_mle
 
-            res = fit_mle(
-                self.model.cov,
-                self.model.params,
-                self.model.x,
-                self.model.y,
-                config=self.model.config,
-                max_iter=self.max_iter,
-            )
-            self.model.set_params(res.params)
+                res = fit_mle(
+                    self.model.cov,
+                    self.model.params,
+                    self.model.x,
+                    self.model.y,
+                    config=self.model.config,
+                    max_iter=self.max_iter,
+                )
+                self.model.set_params(res.params)
         return self
 
     def predict(self, xp, return_std: bool = False):

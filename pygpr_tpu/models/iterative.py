@@ -598,6 +598,7 @@ class IterativeGP:
         self.config = config
         self.rank = rank
         self.block = block
+        self._seed = seed
         self.probes = jnp.asarray(
             make_probes(self.x.shape[0], num_probes, seed),
             dtype=self.x.dtype,
@@ -607,6 +608,19 @@ class IterativeGP:
     def set_params(self, params) -> None:
         self.params = jnp.asarray(params)
 
+    def set_data(self, x, y) -> None:
+        """Rebind training data (``gpr.py:28-31`` contract); probes are
+        regenerated at the new n with the stored seed."""
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(y)
+        if self.probes.shape[0] != self.x.shape[0]:
+            self.probes = jnp.asarray(
+                make_probes(
+                    self.x.shape[0], self.probes.shape[1], self._seed
+                ),
+                dtype=self.x.dtype,
+            )
+
     def nlml(self) -> Array:
         v, _ = nlml_value_and_grad(
             self.cov, self.params, self.x, self.y, self.probes,
@@ -614,7 +628,16 @@ class IterativeGP:
         )
         return v
 
-    def train(self, iters: int = 100, learning_rate: float = 0.05, **kw):
+    def train(
+        self,
+        iters: Optional[int] = None,
+        learning_rate: float = 0.05,
+        max_iter: Optional[int] = None,
+        **kw,
+    ):
+        """Adam fit; ``max_iter`` is accepted as an alias for ``iters``
+        (the house OO-wrapper spelling, cf. ``SGPR.train``)."""
+        iters = iters if iters is not None else (max_iter or 100)
         params, trace = fit(
             self.cov, self.params, self.x, self.y, self.probes,
             rank=self.rank, block=self.block,

@@ -317,6 +317,13 @@ class SGPR:
         self.params = jnp.asarray(params)
         self.need_upd = True
 
+    def set_data(self, x, y) -> None:
+        """Rebind training data and mark dirty (``gpr.py:28-31``
+        contract; inducing locations are kept)."""
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(y)
+        self.need_upd = True
+
     def train(
         self, opt_inducing: bool = True, max_iter: int = 200, **kw
     ):

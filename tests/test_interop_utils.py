@@ -52,6 +52,28 @@ def test_skwrap_optimize(rng):
     assert not np.allclose(np.asarray(model.params), p0)
 
 
+def test_skwrap_wraps_sgpr_and_iterative(rng):
+    """Beyond-reference models satisfy the same sklearn facade."""
+    from pygpr_tpu.models import IterativeGP, SGPR
+
+    n = 300
+    x = rng.uniform(0, 4, size=(n, 1))
+    y = np.sin(2 * x[:, 0]) + 0.1 * rng.normal(size=n)
+
+    for model in (
+        SGPR(x, y, gp.RBF(), m=24),
+        IterativeGP(x, y, gp.RBF(), num_probes=8, rank=32, block=64),
+    ):
+        sk = SKWrap(model, optimize=True, max_iter=60)
+        sk.fit(x, y)
+        mean, std = sk.predict(x[:50], return_std=True)
+        rmse = float(np.sqrt(np.mean((mean - np.sin(2 * x[:50, 0])) ** 2)))
+        assert rmse < 0.1, type(model).__name__
+        assert np.all(std > 0)
+        # sklearn scoring protocol (RegressorMixin.score = R²)
+        assert sk.score(x[:50], y[:50]) > 0.8
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     tree = {
         "params": jnp.asarray(rng.normal(size=(3,))),
