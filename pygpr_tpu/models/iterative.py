@@ -135,11 +135,22 @@ def gram_matvec(
     (the gradient path the Hutchinson surrogate uses) — the tile loop
     is a ``lax.map`` scan, which JAX transposes block-by-block, so the
     VJP is matrix-free too.
+
+    With ``Config(use_pallas=True)`` and a bare f32 RBF kernel the
+    matvec runs the fused Pallas kernel (``ops/pallas_matvec.py``):
+    distance→exp→tile@V entirely in VMEM, one HBM pass instead of the
+    XLA path's materialize-tile-then-GEMM two passes.
     """
     theta, sn = params[..., :-1], params[..., -1]
     sn2 = sn * sn + jnp.asarray(config.jitter, x.dtype)
     vec = v.ndim == 1
     v2 = v[:, None] if vec else v
+    if config.use_pallas:
+        from pygpr_tpu.ops import pallas_matvec
+
+        if pallas_matvec.supported(kern, x):
+            out = pallas_matvec.rbf_gram_matvec(theta, x, v2) + sn2 * v2
+            return out[:, 0] if vec else out
     out = _blocked_rows(kern, theta, x, x, v2, block, config) + sn2 * v2
     return out[:, 0] if vec else out
 
