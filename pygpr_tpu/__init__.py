@@ -56,7 +56,12 @@ from pygpr_tpu.models.likelihood import (
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.sgpr import SGPR
 from pygpr_tpu.models.iterative import IterativeGP
-from pygpr_tpu.models import grbcm, iterative, sgpr
+from pygpr_tpu.models import committee, grbcm, iterative, sgpr
+from pygpr_tpu.models.committee import (
+    aggregate_committee,
+    fit_committee,
+    predict_committee,
+)
 from pygpr_tpu.models.likelihood import log_likelihood_batched
 from pygpr_tpu.optimize import (
     CG,

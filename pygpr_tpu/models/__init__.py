@@ -15,5 +15,10 @@ from pygpr_tpu.models.likelihood import (
     nlml_value_and_grad,
 )
 from pygpr_tpu.models.grbcm import GRBCM
+from pygpr_tpu.models.committee import (
+    aggregate_committee,
+    fit_committee,
+    predict_committee,
+)
 from pygpr_tpu.models.sgpr import SGPR
 from pygpr_tpu.models.iterative import IterativeGP

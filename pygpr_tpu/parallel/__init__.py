@@ -8,6 +8,7 @@ from pygpr_tpu.parallel.mesh import (
     replicated,
 )
 from pygpr_tpu.parallel.sharded import (
+    committee_predict_sharded,
     grbcm_fit_sharded,
     grbcm_predict_sharded,
     mcmc_sharded,

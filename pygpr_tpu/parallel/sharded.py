@@ -263,6 +263,95 @@ def grbcm_fit_sharded(
     return fn(p0_l, x_aug, y_aug, xg, yg)
 
 
+def committee_predict_sharded(
+    kern: Kernel,
+    params_l: Array,
+    xl: Array,
+    yl: Array,
+    xs: Array,
+    mesh: Mesh,
+    method: str = "rbcm",
+    *,
+    mask: Optional[Array] = None,
+    config: Config = DEFAULT,
+) -> Tuple[Array, Array]:
+    """PoE-family committee prediction (``models.committee``) with the
+    plain (non-augmented) experts sharded over the ``"expert"`` axis.
+
+    Per-expert factorize/predict run device-local; the aggregation is
+    four ``psum``s (Σβ, Σβ·prec, Σβ·prec·μ, and the committee-mean
+    prior precision for the BCM/rBCM correction).  Matches
+    ``models.committee.predict_committee`` exactly — the sharded ==
+    batched invariant is tested on the 8-virtual-device mesh.
+    """
+    from pygpr_tpu.models.committee import METHODS
+
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+    nc = xl.shape[0]
+    if mask is None:
+        mask = jnp.ones((nc,), bool)
+
+    def local_fn(p_l, xa, ya, m, xs):
+        state_l = exact_gp.factorize(kern, p_l, xa, ya, config)
+        ys_l, var_l = exact_gp.predict(kern, state_l, xs, "diag", config)
+        pv = jax.vmap(lambda p: kern.diag(p, xs, config=config))(
+            state_l.params
+        )                                           # [nc_loc, np]
+
+        mf = m.astype(var_l.dtype)
+        n_act = jnp.maximum(
+            lax.psum(jnp.sum(mf), EXPERT_AXIS), 1.0
+        )
+        prec_prior = (
+            lax.psum(jnp.sum(mf[:, None] / pv, axis=0), EXPERT_AXIS)
+            / n_act
+        )
+
+        if method in ("poe", "bcm"):
+            beta = jnp.ones_like(var_l)
+        elif method == "gpoe":
+            beta = jnp.ones_like(var_l) / n_act
+        else:  # rbcm
+            beta = jnp.maximum(
+                0.5 * (jnp.log(pv) - jnp.log(var_l)), 0.0
+            )
+        beta = jnp.where(m[:, None], beta, 0.0)
+
+        wprec = beta / var_l
+        s_beta = lax.psum(jnp.sum(beta, axis=0), EXPERT_AXIS)
+        s_prec = lax.psum(jnp.sum(wprec, axis=0), EXPERT_AXIS)
+        s_mu = lax.psum(jnp.sum(wprec * ys_l, axis=0), EXPERT_AXIS)
+
+        prec = s_prec
+        if method in ("bcm", "rbcm"):
+            prec = prec + (1.0 - s_beta) * prec_prior
+        floor = jnp.asarray(config.jitter, prec.dtype) * prec_prior
+        prec = jnp.maximum(prec, floor)
+        covar = 1.0 / prec
+        return covar * s_mu, covar
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(EXPERT_AXIS),  # params_l
+            P(EXPERT_AXIS),  # xl
+            P(EXPERT_AXIS),  # yl
+            P(EXPERT_AXIS),  # mask
+            P(),             # xs
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    p_all = (
+        params_l
+        if params_l.ndim == 2
+        else jnp.broadcast_to(params_l, (nc,) + params_l.shape)
+    )
+    return fn(p_all, xl, yl, mask, xs)
+
+
 def mcmc_sharded(
     kern: Kernel,
     x: Array,
