@@ -56,7 +56,14 @@ from pygpr_tpu.models.likelihood import (
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.sgpr import SGPR
 from pygpr_tpu.models.iterative import IterativeGP
-from pygpr_tpu.models import committee, grbcm, iterative, sgpr
+from pygpr_tpu.models import committee, grbcm, iterative, obs, sgpr, svgp
+from pygpr_tpu.models.svgp import SVGP
+from pygpr_tpu.models.obs import (
+    BernoulliLogit,
+    BernoulliProbit,
+    GaussianLik,
+    PoissonLik,
+)
 from pygpr_tpu.models.committee import (
     aggregate_committee,
     fit_committee,

@@ -21,4 +21,11 @@ from pygpr_tpu.models.committee import (
     predict_committee,
 )
 from pygpr_tpu.models.sgpr import SGPR
+from pygpr_tpu.models.svgp import SVGP
+from pygpr_tpu.models.obs import (
+    BernoulliLogit,
+    BernoulliProbit,
+    GaussianLik,
+    PoissonLik,
+)
 from pygpr_tpu.models.iterative import IterativeGP

@@ -17,6 +17,7 @@ from pygpr_tpu.parallel.data_parallel import (
     sgpr_fit_dp,
     sgpr_neg_elbo_dp,
     sgpr_predict_dp,
+    svgp_fit_dp,
 )
 from pygpr_tpu.parallel.iterative_dp import (
     fit_dp as iterative_fit_dp,

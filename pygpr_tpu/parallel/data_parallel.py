@@ -101,6 +101,37 @@ def sgpr_fit_dp(
     return f(params0, xs, ys, z)
 
 
+def svgp_fit_dp(
+    kern: Kernel,
+    lik,
+    x: Array,
+    y: Array,
+    z0: Array,
+    mesh: Mesh,
+    *,
+    axis: str = EXPERT_AXIS,
+    config: Config = DEFAULT,
+    **fit_kw,
+):
+    """Data-parallel SVGP training: every Adam minibatch shards over
+    the mesh's data axis (``svgp.fit``'s ``batch_sharding`` hook), the
+    variational/hyper parameters stay replicated, and XLA all-reduces
+    the O(m²) gradient statistics — the uncollapsed twin of
+    :func:`sgpr_fit_dp`.  Deterministic: the host-side batch schedule
+    is identical to the single-device run, so sharded == single-device
+    to round-off (tested on the 8-virtual-device mesh)."""
+    from pygpr_tpu.models import svgp
+
+    batch = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    xr = jax.device_put(x, rep)
+    yr = jax.device_put(y, rep)
+    return svgp.fit(
+        kern, lik, xr, yr, z0,
+        config=config, batch_sharding=batch, **fit_kw,
+    )
+
+
 def sgpr_predict_dp(
     kern: Kernel,
     state: sgpr.SGPRState,
