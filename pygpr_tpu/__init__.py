@@ -63,7 +63,9 @@ from pygpr_tpu.models.obs import (
     BernoulliProbit,
     GaussianLik,
     PoissonLik,
+    StudentTLik,
 )
+from pygpr_tpu.ops.coregion import ICM, TaskNoise, stack_outputs, with_task
 from pygpr_tpu.models.committee import (
     aggregate_committee,
     fit_committee,

@@ -27,5 +27,6 @@ from pygpr_tpu.models.obs import (
     BernoulliProbit,
     GaussianLik,
     PoissonLik,
+    StudentTLik,
 )
 from pygpr_tpu.models.iterative import IterativeGP

@@ -108,6 +108,47 @@ class BernoulliProbit:
         return p, p * (1.0 - p)
 
 
+class StudentTLik:
+    """y = f + ε, ε ~ Student-t(ν, scale σ) — heavy-tailed robust
+    regression (outliers get down-weighted instead of dragging the
+    posterior).  GH quadrature expectation; ν > 2 fixed at
+    construction, log σ is the trainable parameter.
+
+    Predictive moments given q(f) = N(μ, σ_f²):
+    mean μ, variance σ_f² + ν σ²/(ν − 2).
+    """
+
+    n_params = 1
+
+    def __init__(self, nu: float = 4.0):
+        if nu <= 2.0:
+            raise ValueError("StudentTLik needs nu > 2 (finite variance)")
+        self.nu = float(nu)
+
+    def init_params(self, dtype=jnp.float32) -> Array:
+        return jnp.zeros((1,), dtype)  # log σ = 0
+
+    def expected_log_lik(self, lp, y, mu, var):
+        nu = self.nu
+        log_s = lp[0]
+        lognorm = (
+            jax.lax.lgamma(jnp.asarray((nu + 1.0) / 2.0, mu.dtype))
+            - jax.lax.lgamma(jnp.asarray(nu / 2.0, mu.dtype))
+            - 0.5 * math.log(nu * math.pi)
+            - log_s
+        )
+
+        def logpdf(f):
+            r2 = ((y[..., None] - f) / jnp.exp(log_s)) ** 2
+            return lognorm - 0.5 * (nu + 1.0) * jnp.log1p(r2 / nu)
+
+        return gauss_hermite(logpdf, mu, var)
+
+    def predict(self, lp, mu, var):
+        s2 = jnp.exp(2.0 * lp[0])
+        return mu, var + self.nu * s2 / (self.nu - 2.0)
+
+
 class PoissonLik:
     """y ∈ ℕ, rate λ = exp(f) (log link).  Closed-form expectation:
     ``E[y f − e^f − log y!] = y μ − e^{μ+σ²/2} − lgamma(y+1)``."""

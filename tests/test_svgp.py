@@ -253,6 +253,47 @@ def test_poisson_counts_end_to_end(rng):
     assert (np.asarray(v_y) >= np.asarray(m_y) - 1e-9).all()  # overdispersed
 
 
+def test_student_t_quadrature_and_robustness(rng):
+    """GH expectation vs brute quadrature, and the defining property:
+    a Student-t fit shrugs off outliers that wreck a Gaussian fit."""
+    from scipy.stats import t as t_dist
+
+    lik = obs.StudentTLik(nu=4.0)
+    lp = jnp.asarray([math.log(0.4)])
+    for y, mu, var in [(0.3, 0.0, 0.5), (-2.0, 1.0, 1.5), (5.0, 0.0, 0.2)]:
+        got = float(
+            lik.expected_log_lik(
+                lp, jnp.asarray([y]), jnp.asarray([mu]), jnp.asarray([var])
+            )[0]
+        )
+        want = _brute_expectation(
+            lambda f: t_dist.logpdf(y, 4.0, loc=f, scale=0.4), mu, var
+        )
+        # heavy-tailed integrand: 32-node GH is good to ~1e-6 here
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # robustness: 10% gross outliers
+    n = 256
+    x = jnp.asarray(rng.uniform(0, 4, (n, 1)))
+    y = np.sin(2.0 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n)
+    out = rng.permutation(n)[: n // 10]
+    y[out] += rng.choice([-8.0, 8.0], size=len(out))
+    y = jnp.asarray(y)
+    z = jnp.asarray(np.linspace(0, 4, 16)[:, None])
+    xs = jnp.asarray(np.linspace(0.1, 3.9, 64)[:, None])
+    want = np.sin(2.0 * np.asarray(xs)[:, 0])
+
+    kw = dict(batch_size=128, n_steps=600, learning_rate=0.08, seed=6)
+    res_t = svgp.fit(KERN, lik, x, y, z, **kw)
+    mu_t, _ = svgp.predict(KERN, lik, res_t.params, xs, "f")
+    rmse_t = float(np.sqrt(np.mean((np.asarray(mu_t) - want) ** 2)))
+    res_g = svgp.fit(KERN, obs.GaussianLik(), x, y, z, **kw)
+    mu_g, _ = svgp.predict(KERN, obs.GaussianLik(), res_g.params, xs, "f")
+    rmse_g = float(np.sqrt(np.mean((np.asarray(mu_g) - want) ** 2)))
+    assert rmse_t < 0.12, rmse_t
+    assert rmse_t < 0.5 * rmse_g, (rmse_t, rmse_g)
+
+
 def test_svgp_fit_dp_equals_single_device(rng):
     """GSPMD data-parallel fit == single-device fit (same schedule,
     deterministic Adam) on the 8-virtual-device mesh."""
