@@ -75,29 +75,34 @@ def _chained_seconds(stepf, init, reps, latency, rounds=8):
     jitter AND the device-level throughput fluctuation (the shared chip
     runs up to ~2× slower under contention) are one-sided slowdowns, so
     min over rounds is the robust estimator of uncontended speed.
+
+    Returns ``(seconds_per_step, final_chained_scalar)`` — the scalar
+    doubles as the finiteness sanity check (NaN anywhere in the chain
+    propagates to it), so callers need no second compiled program.
     """
     import jax.numpy as jnp
 
     jnp.sum(stepf(init)).item()  # compile + warm
     best = float("inf")
+    val = float("nan")
     for _ in range(rounds):
         t0 = time.perf_counter()
         s = init
         for _ in range(reps):
             s = stepf(s)
-        jnp.sum(s).item()
+        val = jnp.sum(s).item()
         best = min(best, (time.perf_counter() - t0 - latency) / reps)
-    return best
+    return best, val
 
 
-def bench_tpu(latency):
+def bench_tpu(latency, n=N, reps=REPS):
     import jax
     import jax.numpy as jnp
 
     import pygpr_tpu as gp
     from pygpr_tpu.config import Config
 
-    x_h, y_h, p_h = make_data()
+    x_h, y_h, p_h = make_data(n=n)
     x = jnp.asarray(x_h)
     y = jnp.asarray(y_h)
     cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
@@ -107,12 +112,11 @@ def bench_tpu(latency):
         v, g = gp.nlml_value_and_grad(cov, p, x, y, cfg)
         return p + 0.0 * g + 0.0 * v
 
-    t = _chained_seconds(jax.jit(step), jnp.asarray(p_h), REPS, latency)
-    # sanity: the value is finite
-    v, _ = jax.jit(lambda p: gp.nlml_value_and_grad(cov, p, x, y, cfg))(
-        jnp.asarray(p_h)
-    )
-    assert bool(jnp.isfinite(v)), "non-finite NLML in bench"
+    t, val = _chained_seconds(jax.jit(step), jnp.asarray(p_h), reps, latency)
+    # sanity: a NaN value/grad anywhere in the chain poisons the
+    # carried parameter vector, so this one fetched scalar guards all
+    # reps with no second compiled program
+    assert np.isfinite(val), "non-finite NLML value/grad in bench"
     return 1.0 / t, t
 
 
@@ -232,9 +236,10 @@ def bench_predictions(latency, nc=16, nls=512, ng=256, nq=4096, dim=2):
         res = grbcm.predict(cov, pg, pl_, sg, sl, q, "diag")
         return q + 0.0 * res.mean[:, None]
 
-    t = _chained_seconds(
+    t, val = _chained_seconds(
         jax.jit(step), jnp.asarray(xs), 10, latency
     )
+    assert np.isfinite(val), "non-finite committee predict in bench"
     return nq / t, t
 
 
@@ -257,6 +262,27 @@ def main():
                 "tflops": round(tflops, 2),
                 "pct_f32_ceiling": round(
                     100.0 * tflops / F32_HIGHEST_CEILING_TFLOPS, 1
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+    # n=4096: the same path where the panel GEMMs amortize the
+    # sequential factorization core — the %-of-peak headline
+    evals4, t4 = bench_tpu(latency, n=4096, reps=12)
+    fl4 = eval_flops(n=4096)
+    tf4 = fl4 / t4 / 1e12
+    print(
+        json.dumps(
+            {
+                "metric": "lml_grad_evals_per_s_n4096",
+                "value": round(evals4, 2),
+                "unit": "evals/s",
+                "flops_per_eval": fl4,
+                "tflops": round(tf4, 2),
+                "pct_f32_ceiling": round(
+                    100.0 * tf4 / F32_HIGHEST_CEILING_TFLOPS, 1
                 ),
             }
         ),

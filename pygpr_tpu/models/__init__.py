@@ -30,3 +30,5 @@ from pygpr_tpu.models.obs import (
     StudentTLik,
 )
 from pygpr_tpu.models.iterative import IterativeGP
+from pygpr_tpu.models import metrics
+from pygpr_tpu.models.metrics import loo_cv, loo_nlpd, nlpd, rmse

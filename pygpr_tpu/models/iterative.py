@@ -182,7 +182,8 @@ def pivoted_cholesky(
     rank: int,
     *,
     config: Config = DEFAULT,
-) -> Array:
+    return_pivots: bool = False,
+):
     """Partial pivoted Cholesky ``K_signal ≈ LᵀL`` with ``L: [rank, n]``.
 
     Greedy diagonal pivoting (Harbrecht et al.; the GPyTorch
@@ -190,14 +191,19 @@ def pivoted_cholesky(
     row — O(rank·n·d) total, no n×n matrix.  Entirely on-device
     (``fori_loop`` with a static trip count) so it jits into the same
     program as the CG solve that consumes it.
+
+    ``return_pivots=True`` additionally returns the pivot indices
+    ``[rank]`` — the greedily most-informative points, used as the
+    inducing-point initializer (``sgpr.init_inducing_pivoted``).
     """
     n = x.shape[0]
     diag = kern.diag(theta, x, config=config)
     L0 = jnp.zeros((rank, n), x.dtype)
+    piv0 = jnp.zeros((rank,), jnp.int32)
     eps = jnp.asarray(1e-12, x.dtype)
 
     def body(i, carry):
-        L, dres = carry
+        L, dres, pivs = carry
         p = jnp.argmax(dres)
         xp_row = jnp.take(x, p, axis=0)[None]               # [1, d]
         row = kern.matrix(theta, x, xp_row, config=config)[0]  # [n]
@@ -209,9 +215,11 @@ def pivoted_cholesky(
         l = row / jnp.sqrt(piv)
         L = L.at[i].set(l)
         dres = jnp.maximum(dres - jnp.square(l), 0.0)
-        return L, dres
+        return L, dres, pivs.at[i].set(p.astype(jnp.int32))
 
-    L, _ = lax.fori_loop(0, rank, body, (L0, diag))
+    L, _, pivs = lax.fori_loop(0, rank, body, (L0, diag, piv0))
+    if return_pivots:
+        return L, pivs
     return L
 
 

@@ -89,6 +89,37 @@ def init_inducing(x, m: int, seed: int = 0) -> np.ndarray:
     return np.ascontiguousarray(x[idx])
 
 
+def init_inducing_pivoted(
+    kern: Kernel,
+    x,
+    m: int,
+    *,
+    theta=None,
+    config: Config = DEFAULT,
+) -> np.ndarray:
+    """Pick ``m`` inducing locations by greedy pivoted-Cholesky
+    selection (the points that best Nyström-approximate the prior gram
+    under ``kern``/``theta`` — each pivot maximizes the residual prior
+    variance).  O(m·n·d), no n×n matrix; a much stronger start than the
+    random subset when the data is clumpy.  Runs the on-device
+    ``iterative.pivoted_cholesky``; call it once, host-side, like
+    :func:`init_inducing`."""
+    from pygpr_tpu.models.iterative import pivoted_cholesky
+
+    x = jnp.asarray(x)
+    if m > x.shape[0]:
+        raise ValueError(f"m={m} inducing points > n={x.shape[0]}")
+    th = (
+        jnp.asarray(theta)
+        if theta is not None
+        else kern.init_params(x, config)
+    )
+    _, pivs = pivoted_cholesky(
+        kern, th, x, m, config=config, return_pivots=True
+    )
+    return np.ascontiguousarray(np.asarray(x)[np.asarray(pivs)])
+
+
 def _common(kern, params, x, y, z, config):
     """Shared factorization of the collapsed bound.
 

@@ -93,8 +93,14 @@ def fit_mle(
     tol: float = 1e-4,
     memory_size: int = 15,
     log_space: bool = True,
+    objective=None,
 ) -> FitResult:
     """Fit kernel hyperparameters by NLML minimization (L-BFGS).
+
+    ``objective`` swaps the fit criterion: any
+    ``f(kern, params, x, y, config) -> scalar`` — e.g.
+    ``models.metrics.loo_nlpd`` for leave-one-out pseudo-likelihood
+    selection (R&W §5.4.2).  Default: the NLML.
 
     ``log_space=True`` (default) optimizes u = log θ and returns
     θ = exp(u): the raw-parameter landscape from the reference's inits
@@ -114,7 +120,10 @@ def fit_mle(
 
     # "fast" routes the line search's value_and_grad through the
     # solve-free closed-form gradient (likelihood._nlml_vg_fast_one).
-    obj = nlml_fast if config.grad_mode == "fast" else nlml
+    if objective is not None:
+        obj = objective
+    else:
+        obj = nlml_fast if config.grad_mode == "fast" else nlml
 
     def solve_one(p0, xx, yy):
         if log_space:
