@@ -21,6 +21,7 @@ from pygpr_tpu.ops.kernels import (
     Periodic,
     Product,
     RationalQuadratic,
+    SpectralMixture,
     Sum,
     WhiteNoise,
     kernel_and_grad,

@@ -496,6 +496,124 @@ class Periodic(Kernel):
         return krn, jnp.moveaxis(jac, -1, 0)
 
 
+class SpectralMixture(Kernel):
+    """Spectral mixture kernel (Wilson & Adams 2013) — a Q-component
+    Gaussian spectral density, the expressive stationary kernel for
+    pattern discovery/extrapolation (beyond-reference capability):
+
+        K(τ) = Σ_q w_q² · exp(−‖τ ⊙ s_q‖²) · cos(2π μ_qᵀ τ),  τ = x−x'
+
+    (the textbook form with per-dim bandwidths v_q has s_q = √(2π²v_q);
+    s multiplies x, the house inverse-lengthscale convention).  Params
+    ``[w (Q), μ (Q·d), s (Q·d)]``, nhp = Q(1+2d), init all-ones.
+
+    MXU form — no ``[d, n, n]`` difference tensor: per component, one
+    scaled squared-distance matmul (``sq_distance``) plus the cosine of
+    a phase difference expanded as a rank-2 outer product,
+    ``cos(aᵢ−bⱼ) = cos aᵢ cos bⱼ + sin aᵢ sin bⱼ`` with
+    ``a = 2π x μ_q``.  Q is static, so the component loop unrolls into
+    one fused XLA program.  Gradients via forward-mode AD (FD-checked).
+
+    ``init_from_data`` is the standard spectral initialization (means
+    uniform up to the Nyquist frequency of the median sample spacing,
+    bandwidths at the data range) — SM likelihoods are multimodal and
+    the all-ones protocol init is rarely in the right basin.
+    """
+
+    def __init__(self, q: int = 2):
+        if q < 1:
+            raise ValueError("SpectralMixture needs q >= 1")
+        self.q = int(q)
+
+    def __hash__(self):
+        return hash((type(self), self.q))
+
+    def __eq__(self, other):
+        return type(other) is SpectralMixture and other.q == self.q
+
+    def n_params(self, dim: int) -> int:
+        return self.q * (1 + 2 * dim)
+
+    def _split(self, params, dim):
+        qn = self.q
+        w = params[..., :qn]
+        mu = params[..., qn: qn + qn * dim].reshape(
+            params.shape[:-1] + (qn, dim)
+        )
+        s = params[..., qn + qn * dim:].reshape(
+            params.shape[:-1] + (qn, dim)
+        )
+        return w, mu, s
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        w, mu, s = self._split(params, dim)
+        xq = x if xp is None else xp
+        out = 0.0
+        for k in range(self.q):
+            sqd = sq_distance(
+                x * s[k], None if xp is None else xp * s[k],
+                precision=config.precision,
+            )
+            a = (2.0 * jnp.pi) * jnp.dot(
+                x, mu[k], precision=config.precision
+            )                                               # [n]
+            b = a if xp is None else (2.0 * jnp.pi) * jnp.dot(
+                xq, mu[k], precision=config.precision
+            )                                               # [m]
+            cosd = (
+                jnp.cos(b)[:, None] * jnp.cos(a)[None, :]
+                + jnp.sin(b)[:, None] * jnp.sin(a)[None, :]
+            )
+            out = out + jnp.square(w[k]) * jnp.exp(-sqd) * cosd
+        return out
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        w, _, _ = self._split(params, x.shape[-1])
+        return jnp.full(
+            (x.shape[-2],), jnp.sum(jnp.square(w)), dtype=x.dtype
+        )
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
+        return krn, jnp.moveaxis(jac, -1, 0)
+
+    def init_from_data(self, x, seed: int = 0, n_restarts: int = 1):
+        """Host-side (NumPy) spectral init: w = 1/√Q, frequencies μ_q
+        log-uniform between the data-range scale 1/L and the Nyquist
+        frequency of the median sample spacing (scale-even coverage of
+        the resolvable spectrum), bandwidths s_q = 1/L.
+
+        ``n_restarts > 1`` returns a stacked ``[R, nhp]`` batch — feed
+        it straight to ``fit_mle`` (which vmaps restarts into one XLA
+        program) and keep the ``argmin``-NLML row: the SM likelihood is
+        multimodal and multi-restart is the standard workflow."""
+        import numpy as np
+
+        x = np.asarray(x)
+        n, dim = x.shape
+        rng = np.random.default_rng(seed)
+        L = x.max(0) - x.min(0) + 1e-12
+        f_lo = 1.0 / L
+        nyq = np.empty(dim)
+        for j in range(dim):
+            dx = np.diff(np.sort(x[:, j]))
+            dx = dx[dx > 0]
+            nyq[j] = 0.5 / (np.median(dx) if dx.size else 1.0)
+        nyq = np.maximum(nyq, 2.0 * f_lo)
+        outs = []
+        for _ in range(max(n_restarts, 1)):
+            w = np.full(self.q, 1.0 / np.sqrt(self.q))
+            u = rng.uniform(size=(self.q, dim))
+            mu = f_lo * (nyq / f_lo) ** u            # log-uniform
+            s = np.broadcast_to(1.0 / L, (self.q, dim)).copy()
+            outs.append(
+                np.concatenate([w, mu.ravel(), s.ravel()]).astype(x.dtype)
+            )
+        return outs[0] if n_restarts == 1 else np.stack(outs)
+
+
 class Linear(Kernel):
     """ARD linear (dot-product) kernel (beyond-reference capability):
     Bayesian linear regression as a GP, and the polynomial-trend factor
