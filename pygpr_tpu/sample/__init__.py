@@ -10,6 +10,7 @@ from pygpr_tpu.sample.mcmc import (
     MCMCResult,
     log_posterior_fn,
     posterior_moments,
+    predictive_mixture,
     sample_posterior,
     sample_posterior_hmc,
     split_rhat,

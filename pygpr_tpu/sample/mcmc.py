@@ -304,6 +304,47 @@ def posterior_moments(samples: Array) -> Tuple[Array, Array]:
     return jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
 
 
+def predictive_mixture(
+    kern: Kernel,
+    x: Array,
+    y: Array,
+    samples: Array,
+    xs: Array,
+    *,
+    n_use: int = 64,
+    config: Config = DEFAULT,
+) -> Tuple[Array, Array]:
+    """Fully Bayesian posterior predictive: marginalize the
+    hyperparameters over the MCMC draws instead of plugging in one
+    point estimate.
+
+        p(y* | x*, D) ≈ (1/S) Σ_s N(y*; μ(θ_s), σ²(θ_s))
+
+    moment-matched to one Gaussian per query: ``mean = E_s[μ_s]``,
+    ``var = E_s[σ_s²] + Var_s[μ_s]`` (law of total variance — the
+    hyperparameter-uncertainty term the plug-in MLE predictive lacks).
+
+    ``samples`` is ``MCMCResult.samples`` (any leading chain axes);
+    thinned to ≤ ``n_use`` draws by a static stride, then streamed one
+    factorize+predict per draw under ``lax.map`` (peak memory = one
+    n×n gram, not S of them).  Returns ``(mean [nq], var [nq])``.
+    """
+    from pygpr_tpu.models import exact_gp
+
+    flat = samples.reshape(-1, samples.shape[-1])
+    stride = max(flat.shape[0] // n_use, 1)
+    use = flat[::stride][:n_use]
+
+    def one(p):
+        state = exact_gp.factorize(kern, p, x, y, config)
+        return exact_gp.predict(kern, state, xs, "diag", config)
+
+    mus, vars_ = jax.lax.map(one, use)           # [S, nq] each
+    mean = jnp.mean(mus, axis=0)
+    var = jnp.mean(vars_, axis=0) + jnp.var(mus, axis=0)
+    return mean, var
+
+
 def split_rhat(samples: Array) -> Array:
     """Split-R̂ convergence diagnostic per hyperparameter → ``[nhp]``.
 

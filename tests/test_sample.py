@@ -142,6 +142,54 @@ def test_mcmc_posterior_moments(rng):
     assert np.all(rhat < 1.3)
 
 
+def test_predictive_mixture(rng):
+    """Fully Bayesian predictive (hyperparameter-marginalized):
+    lax.map path == brute per-sample loop; degenerate single-sample
+    case == the plug-in predictive exactly; hyperparameter uncertainty
+    only ever widens the predictive (law of total variance)."""
+    from pygpr_tpu.models import exact_gp
+    from pygpr_tpu.sample import predictive_mixture
+
+    n = 48
+    x = jnp.asarray(rng.uniform(0, 3, size=(n, 1)))
+    y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n))
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    xs = jnp.asarray(rng.uniform(0, 3, size=(16, 1)))
+    res = sample_posterior(
+        cov, x, y, jax.random.PRNGKey(2),
+        n_samples=60, n_warmup=150, n_chains=2,
+    )
+
+    mean, var = predictive_mixture(cov, x, y, res.samples, xs, n_use=24)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(var) > 0).all()
+
+    # brute-force mixture over the same thinned draws
+    flat = res.samples.reshape(-1, 3)
+    use = flat[:: max(flat.shape[0] // 24, 1)][:24]
+    mus, vs = [], []
+    for p in np.asarray(use):
+        st = exact_gp.factorize(cov, jnp.asarray(p), x, y)
+        m, v = exact_gp.predict(cov, st, xs, "diag")
+        mus.append(np.asarray(m))
+        vs.append(np.asarray(v))
+    mus, vs = np.stack(mus), np.stack(vs)
+    np.testing.assert_allclose(np.asarray(mean), mus.mean(0), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(var), vs.mean(0) + mus.var(0), rtol=1e-7
+    )
+    # mixture variance ≥ mean component variance
+    assert (np.asarray(var) >= vs.mean(0) - 1e-12).all()
+
+    # single draw == plug-in
+    one = res.samples[:1, :1]
+    m1, v1 = predictive_mixture(cov, x, y, one, xs, n_use=1)
+    st = exact_gp.factorize(cov, one[0, 0], x, y)
+    mp, vp = exact_gp.predict(cov, st, xs, "diag")
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(mp), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(vp), rtol=1e-12)
+
+
 def test_mcmc_runs_jitted(rng):
     """The whole sampler is one jittable program."""
     n = 20
