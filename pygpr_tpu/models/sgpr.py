@@ -262,6 +262,27 @@ def predict(
     return mean, None
 
 
+def sample_predictive(
+    kern: Kernel,
+    state: SGPRState,
+    xp: Array,
+    key,
+    n_samples: int = 1,
+    config: Config = DEFAULT,
+) -> Array:
+    """Joint draws from the SGPR posterior at ``xp``:
+    ``f = μ + L_Σ z`` through the jitter ladder (the sparse counterpart
+    of ``exact_gp.sample_predictive``).  Returns ``[n_samples, nq]``."""
+    import jax.random as jrandom
+
+    mean, cov = predict(kern, state, xp, var="full", config=config)
+    chol = linalg.safe_cholesky(cov, config).chol
+    z = jrandom.normal(key, (n_samples, xp.shape[0]), mean.dtype)
+    return mean[None] + jnp.matmul(
+        z, chol.T, precision=config.precision
+    )
+
+
 def fit(
     kern: Kernel,
     params0: Array,

@@ -229,6 +229,7 @@ def fit(
     seed: int = 0,
     config: Config = DEFAULT,
     batch_sharding=None,
+    segment_steps: Optional[int] = None,
 ) -> SVGPFit:
     """Adam on the minibatch negative ELBO — ONE jitted ``lax.scan``
     over a host-precomputed index schedule (no per-step dispatch, no
@@ -238,7 +239,15 @@ def fit(
     enables the GSPMD data-parallel path: each gathered minibatch is
     constraint-sharded over the mesh, XLA splits the tall [m, nb]
     GEMMs column-wise and all-reduces the O(m²) gradient statistics —
-    see ``parallel/data_parallel.py::svgp_fit_dp``."""
+    see ``parallel/data_parallel.py::svgp_fit_dp``.
+
+    ``segment_steps`` breaks the scan into host-synced segments of that
+    many steps (one compiled executable reused for all segments) —
+    needed on remote/tunneled TPU runtimes whose watchdog kills any
+    single device call past a wall-clock limit (~200 s observed, see
+    CLAUDE.md).  Adam state carries across segments unchanged, so the
+    trajectory is IDENTICAL to the unsegmented scan (tested);
+    ``n_steps`` is rounded up to a whole number of segments."""
     import optax
 
     _check_noise_free(kern)
@@ -246,6 +255,9 @@ def fit(
     nb = batch_size or min(n, 512)
     if vp0 is None:
         vp0 = init_variational(kern, lik, x, jnp.asarray(z0), config)
+    if segment_steps is not None:
+        n_segs = -(-n_steps // segment_steps)
+        n_steps = n_segs * segment_steps
     sched = jnp.asarray(make_batches(n, nb, n_steps, seed))
     scale = n / nb
     opt = optax.adam(learning_rate)
@@ -266,10 +278,21 @@ def fit(
         vp = optax.apply_updates(vp, updates)
         return (vp, ostate), val
 
-    (vp, _), losses = jax.lax.scan(
-        step, (vp0, opt.init(vp0)), sched
-    )
-    return SVGPFit(vp, losses)
+    carry0 = (vp0, opt.init(vp0))
+    if segment_steps is None:
+        (vp, _), losses = jax.lax.scan(step, carry0, sched)
+        return SVGPFit(vp, losses)
+
+    seg_fn = jax.jit(lambda c, s: jax.lax.scan(step, c, s))
+    carry = carry0
+    parts = []
+    for k in range(n_steps // segment_steps):
+        lo = k * segment_steps
+        carry, ls = seg_fn(carry, sched[lo: lo + segment_steps])
+        ls.block_until_ready()
+        float(ls[-1])  # host fetch = real device sync over the tunnel
+        parts.append(ls)
+    return SVGPFit(carry[0], jnp.concatenate(parts))
 
 
 class SVGP:

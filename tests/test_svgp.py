@@ -317,6 +317,41 @@ def test_svgp_fit_dp_equals_single_device(rng):
         )
 
 
+def test_segmented_fit_identical_to_one_scan(rng):
+    """segment_steps breaks the Adam scan into host-synced chunks with
+    a bit-identical trajectory (Adam state carries across segments)."""
+    x, y, z, lik, vp = _gaussian_setup(rng, n=64, m=8)
+    kw = dict(batch_size=32, n_steps=40, learning_rate=0.05, seed=9)
+    res_one = svgp.fit(KERN, lik, x, y, z, vp0=vp, **kw)
+    res_seg = svgp.fit(KERN, lik, x, y, z, vp0=vp, segment_steps=7, **kw)
+    # n_steps rounds up to 42 = 6 segments of 7; the first 40 losses
+    # must match the unsegmented run exactly
+    np.testing.assert_allclose(
+        np.asarray(res_seg.losses[:40]), np.asarray(res_one.losses),
+        rtol=1e-12,
+    )
+
+
+def test_sgpr_sample_predictive(rng):
+    """Sparse posterior draws: moments converge to predict()'s."""
+    x, y, z, lik, vp = _gaussian_setup(rng, n=96, m=16)
+    packed = jnp.concatenate([jnp.exp(vp.log_theta), jnp.exp(vp.lik)])
+    st = sgpr.factorize(KERN, packed, x, y, z)
+    xs = jnp.asarray(rng.uniform(0, 4, (24, 1)))
+    draws = sgpr.sample_predictive(
+        KERN, st, xs, jax.random.PRNGKey(0), n_samples=4000
+    )
+    mean, var = sgpr.predict(KERN, st, xs, var="diag")
+    d = np.asarray(draws)
+    np.testing.assert_allclose(
+        d.mean(0), np.asarray(mean), atol=4 * float(jnp.sqrt(var.max()))
+        / np.sqrt(4000),
+    )
+    np.testing.assert_allclose(
+        d.var(0), np.asarray(var), rtol=0.15
+    )
+
+
 def test_svgp_class_wrapper(rng):
     n = 128
     x = rng.uniform(0, 4, (n, 1))
