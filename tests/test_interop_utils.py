@@ -89,6 +89,31 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_serving_state_roundtrip(tmp_path, rng):
+    """A fitted serving state (GPState with T=L⁻¹ attached) persists
+    and restores to identical predictions — the deploy/reload path."""
+    import pygpr_tpu as gp
+    from pygpr_tpu.models import exact_gp
+
+    x = jnp.asarray(rng.uniform(0, 4, (32, 2)))
+    y = jnp.sin(x.sum(-1))
+    cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
+    p = jnp.asarray([1.0, 0.8, 0.8, 0.3])
+    state = exact_gp.precompute_tinv(
+        exact_gp.factorize(cov, p, x, y)
+    )
+    path = str(tmp_path / "serving.npz")
+    save_checkpoint(path, state, meta={"model": "exact_gp"})
+    like = jax.tree.map(jnp.zeros_like, state)
+    restored, meta = load_checkpoint(path, like)
+    assert meta == {"model": "exact_gp"}
+    xs = jnp.asarray(rng.uniform(0, 4, (8, 2)))
+    m0, v0 = exact_gp.predict(cov, state, xs, "diag")
+    m1, v1 = exact_gp.predict(cov, restored, xs, "diag")
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=0)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=0)
+
+
 def test_opt_trace_formats(tmp_path):
     dat = str(tmp_path / "opt.dat")
     jsl = str(tmp_path / "opt.jsonl")
