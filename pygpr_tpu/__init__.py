@@ -15,6 +15,7 @@ The public namespace is flat, mirroring the reference's
 from pygpr_tpu.config import DEFAULT, Config, default_dtype
 from pygpr_tpu.ops.kernels import (
     RBF,
+    Constant,
     Kernel,
     Linear,
     Matern,

@@ -496,6 +496,40 @@ class Periodic(Kernel):
         return krn, jnp.moveaxis(jac, -1, 0)
 
 
+class Constant(Kernel):
+    """Constant (bias) kernel ``K = σ²·𝟙𝟙ᵀ`` (beyond-reference):
+    a learned constant offset under ``Sum`` (the GP mean-level term —
+    this engine, like the reference, is zero-mean, so ``RBF() +
+    Constant() + WhiteNoise()`` is how a non-zero baseline is
+    absorbed), and the additive bias factor in ``Product`` trees.
+    One param ``[σ]``, init 1.  ``∂K/∂σ = 2σ·𝟙𝟙ᵀ``.
+
+    Fit note: for data whose level is far from zero, start σ near
+    that level (or center y first) — from the all-ones init the NLML's
+    all-noise basin can capture the fit before the constant term
+    grows to the offset."""
+
+    def n_params(self, dim: int) -> int:
+        return 1
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        m = x.shape[-2] if xp is None else xp.shape[-2]
+        return jnp.full(
+            (m, x.shape[-2]), jnp.square(params[0]), dtype=x.dtype
+        )
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        return jnp.full(
+            (x.shape[-2],), jnp.square(params[0]), dtype=x.dtype
+        )
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        n = x.shape[-2]
+        krn = self.matrix(params, x, config=config)
+        dkrn = jnp.full((1, n, n), 2.0 * params[0], dtype=x.dtype)
+        return krn, dkrn
+
+
 class SpectralMixture(Kernel):
     """Spectral mixture kernel (Wilson & Adams 2013) — a Q-component
     Gaussian spectral density, the expressive stationary kernel for

@@ -8,6 +8,7 @@ from pygpr_tpu.sample.designs import (
 )
 from pygpr_tpu.sample.mcmc import (
     MCMCResult,
+    effective_sample_size,
     log_posterior_fn,
     posterior_moments,
     predictive_mixture,

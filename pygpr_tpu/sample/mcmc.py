@@ -304,6 +304,47 @@ def posterior_moments(samples: Array) -> Tuple[Array, Array]:
     return jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
 
 
+def effective_sample_size(samples) -> "np.ndarray":
+    """ESS per hyperparameter (Stan's rank-free estimator: multi-chain
+    autocorrelations via FFT, Geyer initial-positive-pair truncation).
+    Host-side NumPy — a diagnostic, like ``split_rhat``; the truncation
+    index is data-dependent and has no business being traced.
+
+    ``samples: [n_chains, n_samples, nhp]`` → ``[nhp]``.
+    """
+    import numpy as np
+
+    s = np.asarray(samples)
+    nc, ns, nhp = s.shape
+    out = np.empty(nhp)
+    for j in range(nhp):
+        ch = s[:, :, j]
+        centered = ch - ch.mean(axis=1, keepdims=True)
+        # per-chain autocovariance via FFT
+        nfft = 1 << (2 * ns - 1).bit_length()
+        f = np.fft.rfft(centered, nfft, axis=1)
+        acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :ns].real
+        acov /= ns
+        W = ch.var(axis=1, ddof=1).mean()
+        B = ns * ch.mean(axis=1).var(ddof=1) if nc > 1 else 0.0
+        var_plus = W * (ns - 1) / ns + B / ns
+        if var_plus <= 0:
+            out[j] = float(nc * ns)
+            continue
+        rho = 1.0 - (W - acov.mean(axis=0)) / var_plus
+        # Geyer: sum successive pairs while positive
+        tau = 0.0
+        t = 1
+        while t + 1 < ns:
+            pair = rho[t] + rho[t + 1]
+            if pair < 0:
+                break
+            tau += pair
+            t += 2
+        out[j] = nc * ns / (1.0 + 2.0 * tau)
+    return out
+
+
 def predictive_mixture(
     kern: Kernel,
     x: Array,

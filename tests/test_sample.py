@@ -190,6 +190,27 @@ def test_predictive_mixture(rng):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(vp), rtol=1e-12)
 
 
+def test_effective_sample_size_calibration(rng):
+    """iid draws → ESS ≈ n; AR(1) with φ=0.9 → ESS ≈ n(1−φ)/(1+φ)."""
+    from pygpr_tpu.sample import effective_sample_size
+
+    nc, ns = 4, 4000
+    iid = rng.normal(size=(nc, ns, 1))
+    ess = effective_sample_size(iid)[0]
+    assert 0.7 * nc * ns < ess < 1.3 * nc * ns, ess
+
+    phi = 0.9
+    z = np.empty((nc, ns))
+    z[:, 0] = rng.normal(size=nc)
+    eps = rng.normal(size=(nc, ns))
+    for t in range(1, ns):
+        z[:, t] = phi * z[:, t - 1] + np.sqrt(1 - phi**2) * eps[:, t]
+    ess_ar = effective_sample_size(z[:, :, None])[0]
+    want = nc * ns * (1 - phi) / (1 + phi)
+    assert 0.5 * want < ess_ar < 2.0 * want, (ess_ar, want)
+    assert ess_ar < 0.1 * nc * ns
+
+
 def test_mcmc_runs_jitted(rng):
     """The whole sampler is one jittable program."""
     n = 20

@@ -83,6 +83,73 @@ def test_batched_equals_stacked(rng):
         )
 
 
+def test_constant_kernel(rng):
+    """Constant bias kernel: RBF + Constant + noise absorbs a big
+    offset that plain RBF + noise must strain to represent."""
+    kern = gp.Constant()
+    x = jnp.asarray(rng.uniform(0, 2, (12, 2)))
+    p = jnp.asarray([1.7])
+    K = np.asarray(kern.matrix(p, x))
+    np.testing.assert_allclose(K, 1.7**2, rtol=1e-12)
+    Kc, dK = kern.matrix_and_grad(p, x)
+    np.testing.assert_allclose(np.asarray(dK[0]), 2 * 1.7, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(kern.diag(p, x)), 1.7**2, rtol=1e-12
+    )
+    # end-to-end: y = 10 + sin(2x); the fitted constant soaks the level
+    n = 96
+    xr = jnp.asarray(rng.uniform(0, 4, (n, 1)))
+    yr = 10.0 + jnp.sin(2 * xr[:, 0]) + 0.05 * jnp.asarray(
+        rng.normal(size=n)
+    )
+    cov = gp.RBF() + gp.Constant() + gp.WhiteNoise()
+    res = fit_mle(cov, cov.init_params(xr), xr, yr, max_iter=150)
+    st = exact_gp.factorize(cov, res.params, xr, yr)
+    xs = jnp.asarray(rng.uniform(0, 4, (48, 1)))
+    m, _ = exact_gp.predict(cov, st, xs, "diag")
+    rmse = float(jnp.sqrt(jnp.mean(
+        (m - (10.0 + jnp.sin(2 * xs[:, 0]))) ** 2)))
+    assert rmse < 0.1, rmse
+
+
+def test_random_kernel_trees_psd_and_grads(rng):
+    """Property test over random Sum/Product compositions: every tree
+    yields a symmetric PSD gram whose analytic param-gradients match
+    jacfwd of its own matrix()."""
+    leaves = [
+        lambda: gp.RBF(),
+        lambda: gp.Matern(2.5),
+        lambda: gp.RationalQuadratic(),
+        lambda: gp.Linear(),
+        lambda: gp.Periodic(),
+        lambda: gp.Constant(),
+        lambda: gp.WhiteNoise(),
+    ]
+
+    def random_tree(depth):
+        if depth == 0 or rng.uniform() < 0.4:
+            return leaves[rng.integers(len(leaves))]()
+        a, b = random_tree(depth - 1), random_tree(depth - 1)
+        return a + b if rng.uniform() < 0.5 else a * b
+
+    x = jnp.asarray(rng.uniform(0, 2, (10, 2)))
+    for _ in range(12):
+        kern = random_tree(2)
+        nhp = kern.n_params(2)
+        p = jnp.asarray(0.4 + 0.8 * rng.uniform(size=nhp))
+        K = np.asarray(kern.matrix(p, x))
+        np.testing.assert_allclose(K, K.T, rtol=1e-9, atol=1e-11)
+        ev = np.linalg.eigvalsh(K + 1e-9 * np.eye(10))
+        assert (ev > -1e-8).all(), type(kern).__name__
+        _, dK = kern.matrix_and_grad(p, x)
+        jac = jnp.moveaxis(
+            jax.jacfwd(lambda q: kern.matrix(q, x))(p), -1, 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(dK), np.asarray(jac), rtol=1e-7, atol=1e-9
+        )
+
+
 def test_pattern_extrapolation_beats_rbf(rng):
     """The SM selling point: learn the spectrum on [0, 6], predict on
     [7, 9] — far outside the RBF correlation length."""
