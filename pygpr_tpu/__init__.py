@@ -68,6 +68,14 @@ from pygpr_tpu.models.obs import (
     StudentTLik,
 )
 from pygpr_tpu.ops.coregion import ICM, TaskNoise, stack_outputs, with_task
+from pygpr_tpu.models.means import (
+    ConstantMean,
+    LinearMean,
+    Mean,
+    ZeroMean,
+    fit_gp_mean,
+)
+from pygpr_tpu.models import means
 from pygpr_tpu.models import metrics
 from pygpr_tpu.models.metrics import loo_cv, loo_nlpd
 from pygpr_tpu.models.committee import (

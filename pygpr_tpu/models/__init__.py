@@ -30,5 +30,13 @@ from pygpr_tpu.models.obs import (
     StudentTLik,
 )
 from pygpr_tpu.models.iterative import IterativeGP
+from pygpr_tpu.models.means import (
+    ConstantMean,
+    LinearMean,
+    Mean,
+    ZeroMean,
+    fit_gp_mean,
+    nlml_mean,
+)
 from pygpr_tpu.models import metrics
 from pygpr_tpu.models.metrics import loo_cv, loo_nlpd, nlpd, rmse
