@@ -2,6 +2,7 @@ from pygpr_tpu.models.exact_gp import (
     GPR,
     ExactGP,
     GPState,
+    extend_state,
     factorize,
     fit_predict,
     predict,

@@ -263,6 +263,104 @@ def sample_predictive(
     )
 
 
+def _extend_one(
+    kern: Kernel, state: GPState, x2: Array, y2: Array, config: Config
+) -> GPState:
+    k21 = kern.matrix(state.params, state.x, x2, config=config)  # [k, n]
+    k22 = kern.matrix(state.params, x2, config=config)           # [k, k]
+    s = linalg.solve_lower(state.chol, k21.T)                    # [n, k]
+    # Diagonal compensation: the Schur factorization below goes through
+    # the ladder, whose rung 0 re-adds config.jitter — subtract it here
+    # so the extended factor equals a from-scratch refactorize exactly
+    # (up to a ladder escalation, which is the rescue path either way).
+    carry = state.jitter - jnp.asarray(config.jitter, k22.dtype)
+    schur = linalg.add_diag(
+        k22 - jnp.matmul(s.T, s, precision=config.precision), carry
+    )
+    res = linalg.safe_cholesky(schur, config)
+    l22 = res.chol                                               # [k, k]
+
+    n, k = state.x.shape[-2], x2.shape[-2]
+    chol = jnp.zeros((n + k, n + k), state.chol.dtype)
+    chol = chol.at[:n, :n].set(state.chol)
+    chol = chol.at[n:, :n].set(s.T)
+    chol = chol.at[n:, n:].set(l22)
+
+    # Incremental solve of K_new w_new = [y; y2]: the old forward pass
+    # is recovered GEMV-style (L⁻¹y = Lᵀw), so no O(n²)-rhs re-solve.
+    z1 = jnp.matmul(
+        state.chol.T, state.weights, precision=config.precision
+    )
+    z2 = linalg.solve_lower(
+        l22, y2 - jnp.matmul(s.T, z1, precision=config.precision)
+    )
+    w2 = linalg.solve_lower_t(l22, z2)
+    w1 = state.weights - linalg.solve_lower_t(
+        state.chol, jnp.matmul(s, w2, precision=config.precision)
+    )
+
+    tinv = None
+    if state.tinv is not None:
+        # T_new = [[T, 0], [−L22⁻¹ Sᵀ T, L22⁻¹]] keeps serving GEMM-only
+        t22 = linalg.tri_inverse_doubling(l22)
+        t21 = -jnp.matmul(
+            t22,
+            jnp.matmul(s.T, state.tinv, precision=config.precision),
+            precision=config.precision,
+        )
+        tinv = jnp.zeros_like(chol)
+        tinv = tinv.at[:n, :n].set(state.tinv)
+        tinv = tinv.at[n:, :n].set(t21)
+        tinv = tinv.at[n:, n:].set(t22)
+
+    return GPState(
+        x=jnp.concatenate([state.x, x2], axis=-2),
+        y=jnp.concatenate([state.y, y2], axis=-1),
+        params=state.params,
+        chol=chol,
+        weights=jnp.concatenate([w1, w2], axis=-1),
+        jitter=jnp.maximum(state.jitter, res.jitter),
+        ok=state.ok * res.ok,
+        tinv=tinv,
+    )
+
+
+def extend_state(
+    kern: Kernel,
+    state: GPState,
+    x2: Array,
+    y2: Array,
+    config: Config = DEFAULT,
+) -> GPState:
+    """Online update: append ``k`` observations to a factorized state
+    in O(n²k) GEMM work instead of the O((n+k)³) refactorization.
+
+    Block-Cholesky extension (no reference analogue — the reference
+    refactorizes from scratch on any data change, ``gpr.py:65-74``):
+    with ``K_new = [[K, K₁₂], [K₂₁, K₂₂]]`` and ``K = LLᵀ``,
+
+        S = L⁻¹K₁₂,   L_new = [[L, 0], [Sᵀ, chol(K₂₂ − SᵀS)]]
+
+    — the solve S and the Schur product are MXU GEMMs; the only
+    sequential factorization is the tiny [k,k] Schur block (through the
+    jitter ladder, so a near-duplicate new point is rescued, not NaN).
+    Weights are updated incrementally, and a serving state
+    (:func:`precompute_tinv`) stays GEMM-only: T is extended in two
+    GEMMs rather than recomputed.  Result is bit-compatible with
+    ``factorize`` on the concatenated data (same jitter rung).
+
+    Auto-vmaps over a leading committee axis (x2/y2 may be shared
+    ``[k, d]`` or per-expert ``[nc, k, d]``).
+    """
+    if state.x.ndim == 3:
+        x2_ax = 0 if x2.ndim == 3 else None
+        return jax.vmap(
+            lambda st, a, b: _extend_one(kern, st, a, b, config),
+            in_axes=(0, x2_ax, x2_ax),
+        )(state, x2, y2)
+    return _extend_one(kern, state, x2, y2, config)
+
+
 class GPR:
     """Abstract GP-regression base, the reference's subclassable
     extension point (``GPR``, ``gpr.py:13-43``): holds ``x``/``y``/
@@ -322,6 +420,22 @@ class ExactGP(GPR):
         self.x = jnp.asarray(x)
         self.y = jnp.asarray(y)
         self.need_upd = True
+
+    def add_data(self, x2, y2) -> None:
+        """Append observations. If a factorized state is live, extend
+        it incrementally (:func:`extend_state`, O(n²k)); otherwise just
+        grow the data and let the next ``update()`` refactorize."""
+        x2 = jnp.asarray(x2)
+        y2 = jnp.asarray(y2)
+        if self.state is not None and not self.need_upd:
+            self.state = extend_state(
+                self.cov, self.state, x2, y2, self.config
+            )
+            self.x, self.y = self.state.x, self.state.y
+        else:
+            self.x = jnp.concatenate([self.x, x2], axis=-2)
+            self.y = jnp.concatenate([self.y, y2], axis=-1)
+            self.need_upd = True
 
     def update(self) -> None:
         if self.need_upd:

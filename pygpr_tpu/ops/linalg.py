@@ -186,6 +186,17 @@ def solve_lower(L: Array, b: Array) -> Array:
     return z[..., 0] if vec else z
 
 
+def solve_lower_t(L: Array, b: Array) -> Array:
+    """Solve ``Lᵀ x = b`` (backward substitution on the lower factor)."""
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    z = lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=True
+    )
+    return z[..., 0] if vec else z
+
+
 def logdet_from_chol(L: Array) -> Array:
     """log|K| = 2 Σ log diag(L)."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
