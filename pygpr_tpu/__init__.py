@@ -87,6 +87,7 @@ from pygpr_tpu.models.committee import (
 from pygpr_tpu.models.likelihood import log_likelihood_batched
 from pygpr_tpu.optimize import (
     CG,
+    BayesOpt,
     BFGSQuad,
     CGQuad,
     FitResult,
