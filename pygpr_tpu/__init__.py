@@ -69,6 +69,7 @@ from pygpr_tpu.models.obs import (
     StudentTLik,
 )
 from pygpr_tpu.ops.coregion import ICM, TaskNoise, stack_outputs, with_task
+from pygpr_tpu.ops.fixed_noise import FixedNoise, with_noise
 from pygpr_tpu.models.means import (
     ConstantMean,
     LinearMean,
