@@ -56,6 +56,7 @@ from pygpr_tpu.models.likelihood import (
     nlml_fast,
     nlml_value_and_grad,
 )
+from pygpr_tpu.models.dkl import DeepKernel, fit_dkl
 from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.sgpr import SGPR
 from pygpr_tpu.models.iterative import IterativeGP

@@ -30,6 +30,7 @@ from pygpr_tpu.models.obs import (
     PoissonLik,
     StudentTLik,
 )
+from pygpr_tpu.models.dkl import DeepKernel, DKLFit, fit_dkl
 from pygpr_tpu.models.iterative import IterativeGP
 from pygpr_tpu.models.means import (
     ConstantMean,

@@ -16,5 +16,6 @@ from pygpr_tpu.optimize.bayesopt import (
     lower_confidence_bound,
     probability_of_improvement,
     propose,
+    propose_batch,
     thompson_sample,
 )

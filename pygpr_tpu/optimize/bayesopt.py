@@ -17,6 +17,9 @@ engine's jittable pieces:
   * :func:`thompson_sample` — posterior-draw minimization over a
     candidate set (uses :func:`~pygpr_tpu.models.exact_gp
     .sample_predictive`);
+  * :func:`propose_batch` — q-point batches for parallel evaluation
+    (kriging-believer fantasization riding ``extend_state``, or q
+    joint Thompson draws);
   * :class:`BayesOpt` — the ask/tell loop; ``tell`` extends the
     factorized state incrementally (:func:`~pygpr_tpu.models.exact_gp
     .extend_state`, O(n²) per new point), optionally refitting
@@ -189,6 +192,65 @@ def thompson_sample(
     return cand[jnp.argmin(f)]
 
 
+def propose_batch(
+    kern: Kernel,
+    state: GPState,
+    bounds: Tuple[Array, Array],
+    key: Array,
+    q: int,
+    *,
+    acq: str = "log_ei",
+    beta: float = 2.0,
+    config: Config = DEFAULT,
+    **propose_kwargs,
+) -> Array:
+    """``q``-point batch proposal for parallel evaluation.
+
+    Sequential fantasization ("kriging believer", Ginsbourger et al.
+    2010): propose greedily, fantasize the outcome as the posterior
+    mean, append it by incremental block-Cholesky extension
+    (:func:`~pygpr_tpu.models.exact_gp.extend_state`, O(n²) per
+    fantasy — no refactorization), and repeat with the updated
+    incumbent — the fantasy mass suppresses the acquisition near
+    already-chosen points, so the batch spreads.
+
+    ``acq="thompson"`` instead draws ``q`` independent posterior
+    functions on one candidate set and returns each one's minimizer —
+    a single jittable program (no fantasy loop), the
+    exploration-complete batch strategy.
+
+    Returns ``[q, d]``.
+    """
+    if acq == "thompson":
+        lo = jnp.asarray(bounds[0], state.x.dtype)
+        hi = jnp.asarray(bounds[1], state.x.dtype)
+        n_candidates = propose_kwargs.get("n_raw", 512)
+        k1, k2 = jax.random.split(key)
+        cand = lo + (hi - lo) * jax.random.uniform(
+            k1, (n_candidates, state.x.shape[-1]), dtype=state.x.dtype
+        )
+        f = exact_gp.sample_predictive(kern, state, cand, k2, q, config)
+        return cand[jnp.argmin(f, axis=-1)]
+
+    st = state
+    best = jnp.min(state.y)
+    pts = []
+    for _ in range(q):
+        key, sub = jax.random.split(key)
+        xq = propose(
+            kern, st, bounds, sub,
+            acq=acq, best=best, beta=beta, config=config,
+            **propose_kwargs,
+        )
+        pts.append(xq)
+        fantasy, _ = exact_gp.predict(
+            kern, st, xq[None], "none", config
+        )
+        st = exact_gp.extend_state(kern, st, xq[None], fantasy, config)
+        best = jnp.minimum(best, fantasy[0])
+    return jnp.stack(pts)
+
+
 class BayesOpt:
     """Ask/tell Bayesian-optimization loop over an exact GP.
 
@@ -246,8 +308,16 @@ class BayesOpt:
         i = int(jnp.argmin(self.y))
         return self.x[i], self.y[i]
 
-    def ask(self) -> Array:
+    def ask(self, q: int = 1) -> Array:
+        """Next point ``[d]`` (default), or a ``[q, d]`` batch for
+        parallel evaluation (:func:`propose_batch`)."""
         self.key, sub = jax.random.split(self.key)
+        if q > 1:
+            return propose_batch(
+                self.kern, self.state, self.bounds, sub, q,
+                acq=self.acq, beta=self.beta, config=self.config,
+                **self.propose_kwargs,
+            )
         if self.acq == "thompson":
             return thompson_sample(
                 self.kern, self.state, self.bounds, sub,

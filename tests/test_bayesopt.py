@@ -178,3 +178,53 @@ def test_bayesopt_tell_extends_incrementally(rng):
         assert bo.state.x.shape[0] == 6 + i + 1
     # hyperparameters untouched between refits
     np.testing.assert_array_equal(p_before, np.asarray(bo.params))
+
+
+def test_propose_batch_shape_bounds_and_spread(rng):
+    """Kriging-believer q-batch: [q, d] in-box, and the fantasy mass
+    keeps the batch spread out (no two points coincide)."""
+    from pygpr_tpu.optimize.bayesopt import propose_batch
+
+    x = jnp.asarray(rng.uniform(size=(20, 2)))
+    y = ((x - 0.4) ** 2).sum(-1)
+    state = factorize(COV, COV.init_params(x), x, y)
+    q = 4
+    xb = propose_batch(
+        COV, state, (jnp.zeros(2), jnp.ones(2)), jax.random.PRNGKey(0),
+        q, acq="log_ei", n_raw=128, n_starts=4, n_steps=30,
+    )
+    assert xb.shape == (q, 2)
+    xb = np.asarray(xb)
+    assert np.all(xb >= 0.0) and np.all(xb <= 1.0)
+    d = np.linalg.norm(xb[:, None] - xb[None, :], axis=-1)
+    d += np.eye(q)  # mask the diagonal
+    assert d.min() > 1e-3, d
+
+
+def test_propose_batch_thompson(rng):
+    from pygpr_tpu.optimize.bayesopt import propose_batch
+
+    x = jnp.asarray(rng.uniform(size=(16, 2)))
+    y = (x**2).sum(-1)
+    state = factorize(COV, COV.init_params(x), x, y)
+    xb = propose_batch(
+        COV, state, (jnp.zeros(2), jnp.ones(2)), jax.random.PRNGKey(3),
+        3, acq="thompson", n_raw=64,
+    )
+    assert xb.shape == (3, 2)
+    assert np.all(np.asarray(xb) >= 0.0) and np.all(np.asarray(xb) <= 1.0)
+
+
+def test_bayesopt_ask_batch(rng):
+    """ask(q) returns a [q, d] batch and tell() absorbs it whole."""
+    x0 = rng.uniform(size=(6, 2))
+    y0 = (x0**2).sum(-1)
+    bo = BayesOpt(
+        COV, x0, y0, (np.zeros(2), np.ones(2)), refit_every=100, seed=2,
+        propose_kwargs=dict(n_raw=64, n_starts=2, n_steps=20),
+    )
+    xb = bo.ask(q=3)
+    assert xb.shape == (3, 2)
+    bo.tell(xb, (np.asarray(xb) ** 2).sum(-1))
+    assert bo.state.x.shape[0] == 9
+    assert bo.y.shape[0] == 9
