@@ -237,18 +237,36 @@ class Preconditioner(NamedTuple):
     half_logdet: Array  #: ½ log|P| (exact)
 
     def apply_inv(self, u: Array) -> Array:
-        """``P⁻¹u = (u − V diag(s²/(σₙ²+s²)) Vᵀu) / σₙ²``."""
+        """``P⁻¹u = (u − V diag(s²/(σₙ²+s²)) Vᵀu) / σₙ²``.
+
+        HIGHEST-precision GEMMs are load-bearing: with default (bf16)
+        MXU passes the ~1e-3 projection error is amplified by 1/σₙ²,
+        the apply becomes nonlinear at a scale PCG can feel, and CG
+        stalls or diverges on TPU (observed at n=16k, σₙ≈0.08) while
+        the identical f32 math converges on CPU.
+        """
         coef = self.s2 / (self.sn2 + self.s2)
-        proj = jnp.matmul(self.v.T, u) if u.ndim > 1 else self.v.T @ u
+        hp = lax.Precision.HIGHEST
+        proj = jnp.matmul(self.v.T, u, precision=hp) if u.ndim > 1 \
+            else jnp.matmul(self.v.T, u[:, None], precision=hp)[:, 0]
         w = coef[:, None] * proj if u.ndim > 1 else coef * proj
-        return (u - self.v @ w) / self.sn2
+        if u.ndim > 1:
+            return (u - jnp.matmul(self.v, w, precision=hp)) / self.sn2
+        return (u - jnp.matmul(self.v, w[:, None], precision=hp)[:, 0]
+                ) / self.sn2
 
     def apply_inv_sqrt(self, u: Array) -> Array:
         """``P^{-1/2}u`` — symmetric, used to whiten the SLQ operator."""
         coef = jnp.sqrt(self.sn2 / (self.sn2 + self.s2)) - 1.0
-        proj = jnp.matmul(self.v.T, u) if u.ndim > 1 else self.v.T @ u
+        hp = lax.Precision.HIGHEST
+        proj = jnp.matmul(self.v.T, u, precision=hp) if u.ndim > 1 \
+            else jnp.matmul(self.v.T, u[:, None], precision=hp)[:, 0]
         w = coef[:, None] * proj if u.ndim > 1 else coef * proj
-        return (u + self.v @ w) / jnp.sqrt(self.sn2)
+        if u.ndim > 1:
+            return (u + jnp.matmul(self.v, w, precision=hp)
+                    ) / jnp.sqrt(self.sn2)
+        return (u + jnp.matmul(self.v, w[:, None], precision=hp)[:, 0]
+                ) / jnp.sqrt(self.sn2)
 
 
 def make_preconditioner(L: Array, sn2: Array, n: int) -> Preconditioner:
@@ -346,8 +364,14 @@ def _lanczos_tridiag(
         w = w - alpha * v
         # full reorthogonalization against all stored vectors (zero
         # rows beyond j contribute nothing)
-        proj = jnp.einsum("mnp,np->mp", Q, w)
-        w = w - jnp.einsum("mnp,mp->np", Q, proj)
+        # HIGHEST precision: bf16 reorthogonalization leaves O(1e-3)
+        # residual overlap, which breaks the tridiagonal's eigenvalues
+        proj = jnp.einsum(
+            "mnp,np->mp", Q, w, precision=lax.Precision.HIGHEST
+        )
+        w = w - jnp.einsum(
+            "mnp,mp->np", Q, proj, precision=lax.Precision.HIGHEST
+        )
         beta = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(w), axis=0), 0.0))
         v_next = w / jnp.maximum(beta, 1e-30)
         alphas = alphas.at[j].set(alpha)
@@ -455,7 +479,7 @@ def nlml_value_and_grad(
     white = lambda v: pre.apply_inv_sqrt(mv(pre.apply_inv_sqrt(v)))
     tr_log_m = slq_logdet(white, probes, num_lanczos=num_lanczos)
     value = (
-        0.5 * jnp.dot(y, alpha)
+        0.5 * jnp.dot(y, alpha, precision=lax.Precision.HIGHEST)
         + pre.half_logdet
         + 0.5 * tr_log_m
         + 0.5 * n * math.log(2.0 * math.pi)
@@ -466,7 +490,7 @@ def nlml_value_and_grad(
     def surrogate(p):
         k_alpha = matvec(p, alpha)
         k_z = matvec(p, probes)
-        quad = -0.5 * jnp.dot(alpha, k_alpha)
+        quad = -0.5 * jnp.dot(alpha, k_alpha, precision=lax.Precision.HIGHEST)
         trace = 0.5 * jnp.sum(U * k_z) / num_probes
         return quad + trace
 
