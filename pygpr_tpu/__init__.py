@@ -79,7 +79,8 @@ from pygpr_tpu.models.means import (
     ZeroMean,
     fit_gp_mean,
 )
-from pygpr_tpu.models import means
+from pygpr_tpu.models import means, priors
+from pygpr_tpu.models.priors import Gamma, HalfNormal, LogNormal
 from pygpr_tpu.models import metrics
 from pygpr_tpu.models.metrics import loo_cv, loo_nlpd
 from pygpr_tpu.models.committee import (
@@ -96,6 +97,7 @@ from pygpr_tpu.optimize import (
     FitResult,
     NelderMead,
     Opt,
+    fit_map,
     fit_mle,
     get_learn_rate,
     hessian,

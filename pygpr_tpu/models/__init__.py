@@ -41,5 +41,6 @@ from pygpr_tpu.models.means import (
     fit_gp_mean,
     nlml_mean,
 )
-from pygpr_tpu.models import metrics
+from pygpr_tpu.models import metrics, priors
+from pygpr_tpu.models.priors import Gamma, HalfNormal, LogNormal, Uniform
 from pygpr_tpu.models.metrics import loo_cv, loo_nlpd, nlpd, rmse

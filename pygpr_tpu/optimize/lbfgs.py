@@ -148,3 +148,33 @@ def fit_mle(
         p_ax = 0 if params0.ndim == 2 else None
         return jax.vmap(solve_one, in_axes=(p_ax, 0, 0))(params0, x, y)
     return solve_one(params0, x, y)
+
+
+def fit_map(
+    kern: Kernel,
+    params0: Array,
+    x: Array,
+    y: Array,
+    priors,
+    **kwargs,
+) -> FitResult:
+    """MAP fit: minimize ``nlml(θ) − Σᵢ log pᵢ(θᵢ)``.
+
+    ``priors``: sequence aligned with the packed parameter vector
+    (:mod:`pygpr_tpu.models.priors`); ``None`` entries are flat, so a
+    single informative prior (e.g. ``HalfNormal`` on the noise) can
+    regularize one coordinate while the rest stay at MLE.  Same
+    keywords, committee auto-vmap, and log-space default as
+    :func:`fit_mle` — the MAP point is the θ-space posterior mode
+    regardless of the search parameterization.
+    """
+    from pygpr_tpu.models.likelihood import nlml_fast
+    from pygpr_tpu.models.priors import log_prior
+
+    config = kwargs.get("config", DEFAULT)
+    base = nlml_fast if config.grad_mode == "fast" else nlml
+
+    def objective(k, p, xx, yy, cfg):
+        return base(k, p, xx, yy, cfg) - log_prior(priors, p)
+
+    return fit_mle(kern, params0, x, y, objective=objective, **kwargs)

