@@ -243,6 +243,51 @@ def bench_predictions(latency, nc=16, nls=512, ng=256, nq=4096, dim=2):
     return nq / t, t
 
 
+def bench_ski_direct(latency, n=1_000_000, g=512, reps=20):
+    """SKI direct-path NLML value+grad at n=10⁶ on ONE chip.
+
+    The per-eval program touches only the G-sized statistics (Z = WᵀW,
+    Wᵀy, yᵀy — one-time O(n) pass), so each value+grad is O(G³)
+    *independent of n*; the reference's dense pipeline at n=10⁶ would
+    need an 8 TB gram and ~3·10¹⁸ FLOPs per eval — it cannot run at
+    all.  Returns ``(evals/s, seconds/eval, stats_seconds)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import pygpr_tpu as gp
+    from pygpr_tpu.models import ski
+
+    rng = np.random.default_rng(7)
+    x = np.sort(
+        rng.uniform(0.0, 8.0, (n, 1)).astype(np.float32), axis=0
+    )
+    y = (np.sin(2.0 * x[:, 0]) + 0.1 * rng.normal(size=n)).astype(
+        np.float32
+    )
+    grid = ski.make_grid(x, g)
+    t0 = time.perf_counter()
+    stats = ski.compute_stats(x, y, grid)
+    jnp.sum(stats.z).item()
+    t_stats = time.perf_counter() - t0
+
+    kern = gp.RBF()
+    vg = jax.value_and_grad(
+        lambda p: ski.nlml_direct(kern, p, stats, grid)
+    )
+
+    def step(p):
+        v, gr = vg(p)
+        return p + 0.0 * gr + 0.0 * v
+
+    t, val = _chained_seconds(
+        jax.jit(step), jnp.asarray([1.0, 1.0, 0.1], jnp.float32),
+        reps, latency,
+    )
+    assert np.isfinite(val), "non-finite SKI NLML in bench"
+    return 1.0 / t, t, t_stats
+
+
 def main():
     latency = _fetch_latency()
 
@@ -284,6 +329,26 @@ def main():
                 "pct_f32_ceiling": round(
                     100.0 * tf4 / F32_HIGHEST_CEILING_TFLOPS, 1
                 ),
+            }
+        ),
+        flush=True,
+    )
+
+    ski_evals, t_ski, t_stats = bench_ski_direct(latency)
+    print(
+        json.dumps(
+            {
+                "metric": "ski_direct_nlml_grad_evals_per_s_n1e6_g512",
+                "value": round(ski_evals, 2),
+                "unit": "evals/s",
+                "vs_baseline": None,
+                "baseline": (
+                    "reference dense O(n^3) pipeline cannot run at "
+                    "n=1e6 (8 TB gram); per-eval cost here is O(G^3), "
+                    "independent of n after the one-time stats pass"
+                ),
+                "stats_setup_seconds": round(t_stats, 1),
+                "seconds_per_eval": round(t_ski, 5),
             }
         ),
         flush=True,
