@@ -30,3 +30,4 @@ from pygpr_tpu.parallel.dist_cholesky import (
     dist_gram,
     dist_nlml,
 )
+from pygpr_tpu.parallel.ski_dp import compute_stats_dp
