@@ -22,6 +22,7 @@ from pygpr_tpu.ops.kernels import (
     Periodic,
     Product,
     RationalQuadratic,
+    Separable,
     SpectralMixture,
     Sum,
     WhiteNoise,

@@ -58,7 +58,7 @@ from jax import lax
 
 from pygpr_tpu.config import DEFAULT, Config
 from pygpr_tpu.models import iterative
-from pygpr_tpu.ops.kernels import RBF, Kernel
+from pygpr_tpu.ops.kernels import RBF, Kernel, Separable
 
 Array = jax.Array
 
@@ -223,15 +223,35 @@ def interp_t_matvec(
     return out
 
 
+def _profile_of(kern: Kernel):
+    """1-D correlation profile φ(r) of a grid-factorizable kernel.
+
+    RBF and :class:`~pygpr_tpu.ops.kernels.Separable` factorize over a
+    Cartesian grid (``K_grid = σ²·T₁⊗…⊗T_d`` with
+    ``(T_j)_{ab} = φ(ℓ_j·h_j·|a−b|)``); anything else raises.
+    """
+    if isinstance(kern, Separable):
+        return kern.profile_fn
+    if isinstance(kern, RBF):
+        return lambda r: jnp.exp(-jnp.square(r))
+    raise ValueError(
+        "SKI's Kronecker grid gram requires a separable kernel (RBF "
+        f"or Separable); got {type(kern).__name__}"
+    )
+
+
 def grid_gram_factors(
-    theta: Array, grid: Grid, dtype
+    theta: Array, grid: Grid, dtype, profile=None
 ) -> Sequence[Array]:
-    """Per-dimension RBF grid grams ``T_j [g_j, g_j]``.
+    """Per-dimension grid grams ``T_j [g_j, g_j]``.
 
     ``K_grid = σ²·T₁ ⊗ … ⊗ T_d`` with
-    ``(T_j)_{ab} = exp(−ℓ_j²·h_j²·(a−b)²)``; σ² is folded into the
-    first factor.  Differentiable in ``theta = [σ, ℓ…]``.
+    ``(T_j)_{ab} = φ(ℓ_j·h_j·|a−b|)`` (``φ`` defaults to the RBF
+    profile); σ² is folded into the first factor.  Differentiable in
+    ``theta = [σ, ℓ…]``.
     """
+    if profile is None:
+        profile = lambda r: jnp.exp(-jnp.square(r))
     sig, ls = theta[0], theta[1:]
     factors = []
     for j, g in enumerate(grid.sizes):
@@ -239,7 +259,7 @@ def grid_gram_factors(
             grid.h[j], dtype
         )
         diff = pts[:, None] - pts[None, :]
-        t = jnp.exp(-jnp.square(ls[j] * diff))
+        t = profile(jnp.abs(ls[j]) * jnp.abs(diff))
         if j == 0:
             t = jnp.square(sig) * t
         factors.append(t)
@@ -288,11 +308,7 @@ def make_ski_matvec(
     ``models/sgpr.py``).  Only the ARD RBF factorizes over a
     Cartesian grid; other kernels raise.
     """
-    if not isinstance(kern, RBF):
-        raise ValueError(
-            "SKI's Kronecker grid gram requires the separable ARD "
-            f"RBF kernel; got {type(kern).__name__}"
-        )
+    profile = _profile_of(kern)
     x = np.asarray(x)
     idx_np, wts_np = interp_weights(x, grid)
     dtype = jnp.asarray(x).dtype
@@ -306,7 +322,7 @@ def make_ski_matvec(
         sn2 = sn * sn + jnp.asarray(config.jitter, v.dtype)
         v2, vec = _as_cols(v)
         u = interp_t_matvec(idx, wts, sizes, v2, total)
-        factors = grid_gram_factors(theta, grid, v2.dtype)
+        factors = grid_gram_factors(theta, grid, v2.dtype, profile)
         u = kron_matvec(factors, sizes, u, precision=config.precision)
         out = interp_matvec(idx, wts, sizes, u) + sn2 * v2
         return out[:, 0] if vec else out
@@ -335,6 +351,7 @@ def _cross_cols(
     x_idx: Array,
     x_wts: Array,
     config: Config,
+    profile=None,
 ) -> Array:
     """``K_SKI(x, q) [n, c] = W_x · K_grid · W_qᵀ`` (columns = queries)."""
     c = q_idx.shape[0]
@@ -342,7 +359,7 @@ def _cross_cols(
         q_idx, q_wts, grid.sizes,
         jnp.eye(c, dtype=q_wts.dtype), grid.total,
     )
-    factors = grid_gram_factors(theta, grid, q_wts.dtype)
+    factors = grid_gram_factors(theta, grid, q_wts.dtype, profile)
     b = kron_matvec(factors, grid.sizes, b, precision=config.precision)
     return interp_matvec(x_idx, x_wts, grid.sizes, b)
 
@@ -416,6 +433,7 @@ def predict(
     x = np.asarray(x)
     xp = np.asarray(xp)
     xj = jnp.asarray(x)
+    profile = _profile_of(kern)
     mv = make_ski_matvec(kern, x, grid, config=config)
     theta, sn = params[:-1], params[-1]
     sn2 = sn * sn + jnp.asarray(config.jitter, xj.dtype)
@@ -454,7 +472,8 @@ def predict(
 
     def chunk_mean(args):
         qi, qw = args
-        ks = _cross_cols(theta, grid, qi, qw, x_idx, x_wts, config)
+        ks = _cross_cols(theta, grid, qi, qw, x_idx, x_wts, config,
+                         profile)
         return jnp.matmul(
             ks.T, alpha, precision=config.precision
         )[:, 0]
@@ -468,7 +487,8 @@ def predict(
 
     def chunk_var(args):
         qi, qw, kdc = args
-        ks = _cross_cols(theta, grid, qi, qw, x_idx, x_wts, config)
+        ks = _cross_cols(theta, grid, qi, qw, x_idx, x_wts, config,
+                         profile)
         w, _ = iterative.cg_solve(
             mvp, ks, precond_inv=pre.apply_inv,
             tol=cg_tol, max_iter=max_cg,
@@ -635,7 +655,7 @@ def compute_stats(x, y: Array, grid: Grid) -> SKIStats:
 
 
 def _grid_chol_factors(
-    theta: Array, grid: Grid, dtype, config: Config
+    theta: Array, grid: Grid, dtype, config: Config, profile=None
 ) -> Tuple[Sequence[Array], Array]:
     """Laddered Cholesky of each per-dimension grid gram.
 
@@ -646,12 +666,14 @@ def _grid_chol_factors(
     """
     from pygpr_tpu.ops.linalg import safe_cholesky
 
+    if profile is None:
+        profile = lambda r: jnp.exp(-jnp.square(r))
     sig, ls = jnp.abs(theta[0]), theta[1:]
     factors = []
     for j, g in enumerate(grid.sizes):
         pts = jnp.arange(g, dtype=dtype) * jnp.asarray(grid.h[j], dtype)
         diff = pts[:, None] - pts[None, :]
-        t = jnp.exp(-jnp.square(ls[j] * diff))
+        t = profile(jnp.abs(ls[j]) * jnp.abs(diff))
         L = safe_cholesky(t, config).chol
         if j == 0:
             L = sig * L
@@ -665,6 +687,7 @@ def _capacitance(
     stats: SKIStats,
     grid: Grid,
     config: Config,
+    profile=None,
 ):
     """``M = σₙ²I + Bᵀ Z B`` and its laddered Cholesky.
 
@@ -673,7 +696,7 @@ def _capacitance(
     """
     from pygpr_tpu.ops.linalg import safe_cholesky
 
-    Ls = _grid_chol_factors(theta, grid, stats.z.dtype, config)
+    Ls = _grid_chol_factors(theta, grid, stats.z.dtype, config, profile)
     LsT = [L.T for L in Ls]
     hp = config.precision
     s1 = kron_matvec(LsT, grid.sizes, stats.z, precision=hp)      # BᵀZ
@@ -698,11 +721,10 @@ def nlml_direct(
     matrix (module comment above), with no CG/SLQ estimation error.
     Differentiable (laddered Cholesky has a custom JVP).
     """
-    if not isinstance(kern, RBF):
-        raise ValueError("SKI requires the separable ARD RBF kernel")
+    profile = _profile_of(kern)
     theta, sn = params[:-1], params[-1]
     sn2 = sn * sn + jnp.asarray(config.jitter, stats.z.dtype)
-    Ls, Lm = _capacitance(theta, sn2, stats, grid, config)
+    Ls, Lm = _capacitance(theta, sn2, stats, grid, config, profile)
     LsT = [L.T for L in Ls]
     c = kron_matvec(
         LsT, grid.sizes, stats.wty[:, None], precision=config.precision
@@ -782,10 +804,11 @@ def predict_direct(
 
     if stats is None:
         stats = compute_stats(x, y, grid)
+    profile = _profile_of(kern)
     theta, sn = params[:-1], params[-1]
     dt = stats.z.dtype
     sn2 = sn * sn + jnp.asarray(config.jitter, dt)
-    Ls, Lm = _capacitance(theta, sn2, stats, grid, config)
+    Ls, Lm = _capacitance(theta, sn2, stats, grid, config, profile)
     LsT = [L.T for L in Ls]
     hp = config.precision
     c = kron_matvec(LsT, grid.sizes, stats.wty[:, None],

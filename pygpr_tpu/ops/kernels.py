@@ -39,6 +39,7 @@ with output layout ``[nhp, n, n]`` (``covar.py:184``).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -684,6 +685,86 @@ class Linear(Kernel):
         outer = x.T[:, :, None] * x.T[:, None, :]            # [d, n, n]
         dls = (2.0 * jnp.square(sig) * ls[:, None, None]) * outer
         return krn, jnp.concatenate([dsig[None], dls], axis=0)
+
+
+_SEPARABLE_PROFILES = {
+    # r ≥ 0 ↦ correlation; each is a valid 1-D stationary kernel, so
+    # the tensor product over dimensions is PSD (Schur product thm).
+    "rbf": lambda r: jnp.exp(-jnp.square(r)),
+    "exp": lambda r: jnp.exp(-r),                       # Matérn ν=1/2
+    "matern32": lambda r: (1.0 + math.sqrt(3.0) * r)
+    * jnp.exp(-math.sqrt(3.0) * r),
+    "matern52": lambda r: (
+        1.0 + math.sqrt(5.0) * r + (5.0 / 3.0) * jnp.square(r)
+    ) * jnp.exp(-math.sqrt(5.0) * r),
+}
+
+
+class Separable(Kernel):
+    """Tensor-product kernel from 1-D stationary profiles
+    (beyond-reference capability):
+
+        K = σ² · Π_j φ(ℓ_j·|x_j − x'_j|)
+
+    with φ ∈ {rbf, exp, matern32, matern52}.  ``Separable("rbf")``
+    coincides with :class:`RBF`; the Matérn profiles give rougher
+    sample paths than the ARD Matérn *along each axis* while keeping
+    the Kronecker factorization over a Cartesian grid that SKI
+    (``models/ski.py``) exploits — the ARD (isotropic-radius) Matérn
+    does not factorize, this one does by construction.
+
+    Params ``[σ, ℓ₁..ℓ_d]`` (inverse lengthscales, house convention).
+    Gradients via autodiff (``matrix_and_grad`` falls back to jacfwd).
+    """
+
+    def __init__(self, profile: str = "matern52"):
+        if profile not in _SEPARABLE_PROFILES:
+            raise ValueError(
+                f"profile {profile!r} not in "
+                f"{sorted(_SEPARABLE_PROFILES)}"
+            )
+        self.profile = profile
+
+    def __hash__(self):
+        return hash((type(self), self.profile))
+
+    def __eq__(self, other):
+        return (
+            type(other) is Separable and other.profile == self.profile
+        )
+
+    def n_params(self, dim: int) -> int:
+        return dim + 1
+
+    def profile_fn(self, r: Array) -> Array:
+        return _SEPARABLE_PROFILES[self.profile](r)
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xp_ = x if xp is None else xp
+        # per-dimension |Δ| accumulated as a product of 1-D profiles
+        out = jnp.square(sig) * jnp.ones(
+            (xp_.shape[-2], x.shape[-2]), x.dtype
+        )
+        phi = _SEPARABLE_PROFILES[self.profile]
+        for j in range(x.shape[-1]):
+            r = jnp.abs(xp_[:, j][:, None] - x[:, j][None, :]) * jnp.abs(
+                ls[j]
+            )
+            out = out * phi(r)
+        return out
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        sig = params[0]
+        return jnp.full((x.shape[-2],), jnp.square(sig), dtype=x.dtype)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(
+            params
+        )
+        return krn, jnp.moveaxis(jac, -1, 0)
 
 
 # ---------------------------------------------------------------------------
