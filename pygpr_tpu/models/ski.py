@@ -77,6 +77,7 @@ __all__ = [
     "predict",
     "SKIStats",
     "compute_stats",
+    "compute_stats_streamed",
     "nlml_direct",
     "fit_direct",
     "predict_direct",
@@ -654,6 +655,65 @@ def compute_stats(x, y: Array, grid: Grid) -> SKIStats:
     )
 
 
+def compute_stats_streamed(
+    source,
+    grid: Grid,
+    *,
+    chunk: int = 262_144,
+) -> SKIStats:
+    """Out-of-core statistics: stream chunks through the native f64
+    accumulator (``native/data_layer.cpp::ski_stats_accum``).
+
+    ``source`` is a :class:`~pygpr_tpu.utils.dataset.BinaryDataset`
+    (memory-mapped — the dataset never has to fit in RAM) or an
+    ``(x, y)`` pair of arrays/memmaps.  Accumulation is float64 on the
+    host regardless of storage dtype — strictly more accurate than the
+    f32 device scatter of :func:`compute_stats` — and O(G²) memory.
+    NumPy fallback per chunk when the native library is unavailable.
+    """
+    from pygpr_tpu import native
+
+    g_total = grid.total
+    z = np.zeros((g_total, g_total), np.float64)
+    wty = np.zeros((g_total,), np.float64)
+    yty = np.zeros((1,), np.float64)
+    n = 0
+
+    def chunks():
+        if hasattr(source, "iter_chunks"):
+            yield from source.iter_chunks(chunk)
+            return
+        x_all, y_all = source
+        for s0 in range(0, np.asarray(x_all).shape[0], chunk):
+            yield (
+                np.asarray(x_all[s0 : s0 + chunk]),
+                np.asarray(y_all[s0 : s0 + chunk]),
+            )
+
+    for xc, yc in chunks():
+        n += xc.shape[0]
+        if native.ski_stats_accum(
+            xc, yc, grid.lo, grid.h, grid.sizes, z, wty, yty
+        ):
+            continue
+        # NumPy fallback (same stencil, np.add.at scatter)
+        idx, wts = interp_weights(xc, grid)
+        yc64 = np.asarray(yc, np.float64)
+        taps = list(_flat_taps(idx, wts, grid.sizes))
+        for fa, wa in taps:
+            np.add.at(wty, fa, wa * yc64)
+            for fb, wb in taps:
+                np.add.at(z, (np.asarray(fa), np.asarray(fb)), wa * wb)
+        yty[0] += float(yc64 @ yc64)
+
+    return SKIStats(
+        z=jnp.asarray(z),
+        wty=jnp.asarray(wty),
+        yty=jnp.asarray(yty[0]),
+        n=n,
+    )
+
+
 def _grid_chol_factors(
     theta: Array, grid: Grid, dtype, config: Config, profile=None
 ) -> Tuple[Sequence[Array], Array]:
@@ -689,21 +749,195 @@ def _capacitance(
     config: Config,
     profile=None,
 ):
-    """``M = σₙ²I + Bᵀ Z B`` and its laddered Cholesky.
+    """Triangular factor of ``M = σₙ²I + Bᵀ Z B`` — WITHOUT forming M.
 
-    Returns ``(Ls, M_chol)``; ``Bᵀ·`` / ``·B`` are per-axis triangular
-    GEMMs (O(G²·Σ g_j) total — MXU food).
+    Forming the normal matrix ``S = BᵀZB`` explicitly is a numerical
+    dead end at scale: ``‖S‖ ≈ n·σ²·𝔼[w²]`` grows linearly in n, so at
+    n ≳ 10⁶ the σₙ²·I term falls below f32 roundoff of S and the
+    summed M is numerically singular (observed on the chip at n=4·10⁶:
+    the fit walked to σ→0 on garbage gradients while f64-rounded CPU
+    happened to survive).  The classic least-squares fix applies:
+    factor the (hyperparameter-independent) ``Z = R_z R_zᵀ`` once,
+    form ``C = R_zᵀ B`` (so ``S = CᵀC``), and QR the stacked matrix
+
+        [ C ; √σₙ²·I ]  =  Q·R_m    ⇒    M = R_mᵀ R_m
+
+    — the σₙ block enters at ‖C‖ ≈ √‖S‖ scale, so small eigenvalues of
+    M carry absolute error (ε‖C‖)² instead of ε‖S‖.  QR needs no
+    jitter ladder (the σₙ rows make the stack full-rank by
+    construction) and is differentiable (reduced mode, full-rank R).
+
+    Returns ``(Ls, Lm)`` with ``Lm = R_mᵀ`` lower-triangular,
+    ``M = Lm·Lmᵀ`` up to column signs — diagonal entries may be
+    negative, so log-determinants must use ``log|diag|``.
     """
     from pygpr_tpu.ops.linalg import safe_cholesky
 
     Ls = _grid_chol_factors(theta, grid, stats.z.dtype, config, profile)
     LsT = [L.T for L in Ls]
     hp = config.precision
-    s1 = kron_matvec(LsT, grid.sizes, stats.z, precision=hp)      # BᵀZ
-    s = kron_matvec(LsT, grid.sizes, s1.T, precision=hp).T        # BᵀZB
-    s = 0.5 * (s + s.T)
-    m = s + sn2 * jnp.eye(grid.total, dtype=s.dtype)
-    return Ls, safe_cholesky(m, config).chol
+    rz = safe_cholesky(stats.z, config).chol       # Z ≈ R_z R_zᵀ (lower)
+    c = kron_matvec(LsT, grid.sizes, rz, precision=hp).T    # R_zᵀ B
+    g_total = grid.total
+    stack = jnp.concatenate(
+        [c, jnp.sqrt(sn2) * jnp.eye(g_total, dtype=c.dtype)], axis=0
+    )
+    _, r_m = jnp.linalg.qr(stack, mode="reduced")
+    return Ls, r_m.T
+
+
+def _solve_lower_refined(lm: Array, c: Array, steps: int = 2) -> Array:
+    """``lm⁻¹c`` with iterative refinement.
+
+    The TPU's blocked triangular solve carries ~1e-4 relative forward
+    error at G=512 (measured; CPU f32 gives ~1e-6), and the NLML's
+    quadratic term ``(yᵀy − uᵀu)/σₙ²`` cancels enough that this noise
+    dominated the n=4·10⁶ fit's gradients.  Two residual-correction
+    passes (residual via HIGHEST-precision GEMV) recover CPU-level
+    accuracy for ~3 extra O(G²) ops; the refinement is differentiable,
+    so the VJP inherits the same correction.
+    """
+    from pygpr_tpu.ops.linalg import solve_lower
+
+    u = solve_lower(lm, c)
+    hp = jax.lax.Precision.HIGHEST
+    vec = c.ndim == 1
+    for _ in range(steps):
+        cu = c[:, None] if vec else c
+        uu = u[:, None] if vec else u
+        r = cu - jnp.matmul(lm, uu, precision=hp)
+        du = solve_lower(lm, r[:, 0] if vec else r)
+        u = u + du
+    return u
+
+
+def _m_solve_refined(lm: Array, b: Array, steps: int = 2) -> Array:
+    """``(Lm·Lmᵀ)⁻¹ b`` with iterative refinement (see above)."""
+    from pygpr_tpu.ops.linalg import cholesky_solve
+
+    x = cholesky_solve(lm, b)
+    hp = jax.lax.Precision.HIGHEST
+    vec = b.ndim == 1
+    for _ in range(steps):
+        bv = b[:, None] if vec else b
+        xv = x[:, None] if vec else x
+        mx = jnp.matmul(
+            lm, jnp.matmul(lm.T, xv, precision=hp), precision=hp
+        )
+        r = bv - mx
+        dx = cholesky_solve(lm, r[:, 0] if vec else r)
+        x = x + dx
+    return x
+
+
+def _nlml_direct_value(kern, params, stats, grid, config):
+    """NLML value via the capacitance QR + refined solves (primal)."""
+    profile = _profile_of(kern)
+    theta, sn = params[:-1], params[-1]
+    sn2 = sn * sn + jnp.asarray(config.jitter, stats.z.dtype)
+    Ls, Lm = _capacitance(theta, sn2, stats, grid, config, profile)
+    LsT = [L.T for L in Ls]
+    c = kron_matvec(
+        LsT, grid.sizes, stats.wty[:, None], precision=config.precision
+    )[:, 0]                                                  # Φᵀy
+    u = _solve_lower_refined(Lm, c)
+    quad = (stats.yty - jnp.dot(
+        u, u, precision=jax.lax.Precision.HIGHEST)) / sn2
+    g_total = grid.total
+    logdet = (
+        (stats.n - g_total) * jnp.log(sn2)
+        + 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Lm))))
+    )
+    value = 0.5 * (
+        quad + logdet + stats.n * math.log(2.0 * math.pi)
+    )
+    return value, (Ls, Lm, c, sn2)
+
+
+def _kron_dense(factors, precision):
+    """Materialize ``⊗ factors`` (direct path only — G ≤ direct_max)."""
+    out = factors[0]
+    for f in factors[1:]:
+        out = jnp.kron(out, f)
+    return out
+
+
+def _nlml_direct_value_and_grad(kern, params, stats, grid, config):
+    """Analytic value+gradient of the direct-path NLML.
+
+    AD through the primal chain (ill-conditioned grid-factor Cholesky
+    JVP + QR VJP, both amplified by the TPU's noisier f32 primitives)
+    produced gradients with O(1) relative error at n=4·10⁶ even after
+    value-side refinement — wrong enough to send L-BFGS to σ→0.  The
+    model, however, depends on the factorization only through
+    ``K_grid``, so the gradient has a closed form in well-conditioned
+    pieces (dense counterpart ``loss.py:107-121``):
+
+        ∂nlml/∂K_g = ½ (WᵀA⁻¹W − q qᵀ),    q = WᵀA⁻¹y,
+        WᵀA⁻¹W = (Z − (ZB)·M⁻¹·(ZB)ᵀ)/σₙ²,
+        q       = (Wᵀy − ZB·M⁻¹·Φᵀy)/σₙ²,
+        ∂nlml/∂σₙ² = ½[tr A⁻¹ − ‖A⁻¹y‖²]   (Woodbury traces below),
+
+    contracted against the Kronecker-structured ∂K_g/∂θ whose factors
+    are plain smooth profile derivatives (no linear algebra).  Chol/QR
+    appear only inside M-solves, stabilized by iterative refinement.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    profile = _profile_of(kern)
+    theta, sn = params[:-1], params[-1]
+    dt = stats.z.dtype
+    sn2 = sn * sn + jnp.asarray(config.jitter, dt)
+    value, (Ls, Lm, c, _) = _nlml_direct_value(
+        kern, params, stats, grid, config
+    )
+
+    sizes = grid.sizes
+    w = _m_solve_refined(Lm, c)                      # M⁻¹Φᵀy [G]
+    bw = kron_matvec(Ls, sizes, w[:, None], precision=hp)[:, 0]  # B w
+    zb_t = kron_matvec(LsT := [L.T for L in Ls], sizes, stats.z,
+                       precision=hp)                 # BᵀZ [G, G]
+    minv_zbt = _m_solve_refined(Lm, zb_t)            # M⁻¹BᵀZ
+    # WᵀA⁻¹W = (Z − (BᵀZ)ᵀ M⁻¹ (BᵀZ)) / σₙ²
+    p_mat = (stats.z - jnp.matmul(zb_t.T, minv_zbt, precision=hp)) / sn2
+    q_vec = (stats.wty - jnp.matmul(
+        stats.z, bw[:, None], precision=hp)[:, 0]) / sn2
+    e_mat = 0.5 * (p_mat - jnp.outer(q_vec, q_vec))
+
+    # Kronecker derivative factors of K_g = σ²·⊗T_j(ℓ_j)
+    sig, ls = theta[0], theta[1:]
+    t_list, d_list = [], []
+    for j, g in enumerate(sizes):
+        pts = jnp.arange(g, dtype=dt) * jnp.asarray(grid.h[j], dt)
+        diff = jnp.abs(pts[:, None] - pts[None, :])
+        fj = lambda l, diff=diff: profile(jnp.abs(l) * diff)
+        t_list.append(fj(ls[j]))
+        d_list.append(jax.jacfwd(fj)(ls[j]))
+
+    kg = jnp.square(sig) * _kron_dense(t_list, hp)
+    grads = [2.0 / sig * jnp.sum(e_mat * kg)]        # dK/dσ = 2K/σ
+    for j in range(len(sizes)):
+        facs = list(t_list)
+        facs[j] = d_list[j]
+        dkg = jnp.square(sig) * _kron_dense(facs, hp)
+        grads.append(jnp.sum(e_mat * dkg))
+
+    # σₙ gradient via Woodbury traces (all from G-sized pieces):
+    # tr A⁻¹ = (n − G + σₙ²·tr M⁻¹)/σₙ²,
+    # ‖A⁻¹y‖² = (yᵀy − cᵀw − σₙ²‖w‖²)/σₙ⁴.
+    from pygpr_tpu.ops.linalg import solve_lower
+
+    g_total = grid.total
+    linv = solve_lower(Lm, jnp.eye(g_total, dtype=dt))
+    tr_minv = jnp.sum(jnp.square(linv))
+    tr_ainv = (stats.n - g_total + sn2 * tr_minv) / sn2
+    cw = jnp.dot(c, w, precision=hp)
+    ainv_y_sq = (
+        stats.yty - cw - sn2 * jnp.dot(w, w, precision=hp)
+    ) / (sn2 * sn2)
+    d_sn2 = 0.5 * (tr_ainv - ainv_y_sq)
+    grads.append(d_sn2 * 2.0 * sn)                   # dsn2/dsn = 2σₙ
+
+    return value, jnp.stack(grads)
 
 
 def nlml_direct(
@@ -713,35 +947,42 @@ def nlml_direct(
     grid: Grid,
     *,
     config: Config = DEFAULT,
+    analytic_grad: bool = True,
 ) -> Array:
     """Exact NLML of the SKI model — O(G³), independent of n.
 
     Dense counterpart: ``loss.py:107-109``; here the quadratic and
     log-determinant are Woodbury identities through the capacitance
     matrix (module comment above), with no CG/SLQ estimation error.
-    Differentiable (laddered Cholesky has a custom JVP).
+    Differentiable: by default the reverse gradient is the ANALYTIC
+    one (:func:`_nlml_direct_value_and_grad` — see its docstring for
+    why AD through the primal chain is numerically unusable on TPU at
+    large n); ``analytic_grad=False`` keeps plain AD for validation.
     """
-    profile = _profile_of(kern)
-    theta, sn = params[:-1], params[-1]
-    sn2 = sn * sn + jnp.asarray(config.jitter, stats.z.dtype)
-    Ls, Lm = _capacitance(theta, sn2, stats, grid, config, profile)
-    LsT = [L.T for L in Ls]
-    c = kron_matvec(
-        LsT, grid.sizes, stats.wty[:, None], precision=config.precision
-    )[:, 0]                                                  # Φᵀy
-    from pygpr_tpu.ops.linalg import solve_lower
+    if not analytic_grad:
+        value, _ = _nlml_direct_value(kern, params, stats, grid, config)
+        return value
 
-    u = solve_lower(Lm, c)
-    quad = (stats.yty - jnp.dot(
-        u, u, precision=jax.lax.Precision.HIGHEST)) / sn2
-    g_total = grid.total
-    logdet = (
-        (stats.n - g_total) * jnp.log(sn2)
-        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
-    )
-    return 0.5 * (
-        quad + logdet + stats.n * math.log(2.0 * math.pi)
-    )
+    @jax.custom_vjp
+    def f(p, z, wty, yty):
+        st = SKIStats(z=z, wty=wty, yty=yty, n=stats.n)
+        value, _ = _nlml_direct_value(kern, p, st, grid, config)
+        return value
+
+    def fwd(p, z, wty, yty):
+        st = SKIStats(z=z, wty=wty, yty=yty, n=stats.n)
+        value, grad = _nlml_direct_value_and_grad(
+            kern, p, st, grid, config
+        )
+        return value, (grad, z, wty, yty)
+
+    def bwd(res, ct):
+        grad, z, wty, yty = res
+        return (ct * grad, jnp.zeros_like(z), jnp.zeros_like(wty),
+                jnp.zeros_like(yty))
+
+    f.defvjp(fwd, bwd)
+    return f(params, stats.z, stats.wty, stats.yty)
 
 
 def fit_direct(
@@ -813,7 +1054,7 @@ def predict_direct(
     hp = config.precision
     c = kron_matvec(LsT, grid.sizes, stats.wty[:, None],
                     precision=hp)[:, 0]
-    beta = cholesky_solve(Lm, c)                         # M⁻¹Φᵀy [G]
+    beta = _m_solve_refined(Lm, c)                       # M⁻¹Φᵀy [G]
     bvec = kron_matvec(Ls, grid.sizes, beta[:, None],
                        precision=hp)[:, 0]               # B M⁻¹Φᵀy
 
@@ -829,7 +1070,7 @@ def predict_direct(
     eye = jnp.eye(grid.total, dtype=dt)
     b_right = kron_matvec(Ls, grid.sizes, eye, precision=hp)  # B
     p0 = jnp.matmul(b_right, b_right.T, precision=hp)         # BBᵀ
-    minv_bt = cholesky_solve(Lm, b_right.T)                   # M⁻¹Bᵀ
+    minv_bt = _m_solve_refined(Lm, b_right.T)                 # M⁻¹Bᵀ
     r = jnp.matmul(b_right, minv_bt, precision=hp)            # BM⁻¹Bᵀ
     post = p0 - sn2 * r     # B(I − σₙ²M⁻¹)Bᵀ ... sign: see below
     # φ*(I − σₙ²M⁻¹)φ*ᵀ with φ* = w*B:  w*(P₀ − σₙ²R)w*ᵀ

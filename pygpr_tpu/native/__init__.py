@@ -74,6 +74,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.ski_stats_accum.restype = ctypes.c_int
+        lib.ski_stats_accum.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.gather_rows_f32.restype = None
+        lib.gather_rows_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -159,3 +177,59 @@ def sq_dist_matrix(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         + np.sum(y**2, -1)[None, :]
         - 2.0 * (x @ y.T)
     )
+
+
+def ski_stats_accum(
+    x: np.ndarray,
+    y: np.ndarray,
+    lo: np.ndarray,
+    h: np.ndarray,
+    sizes,
+    z: np.ndarray,
+    wty: np.ndarray,
+    yty: np.ndarray,
+) -> bool:
+    """Accumulate one (x, y) chunk into SKI statistics IN PLACE.
+
+    ``z [G, G]``, ``wty [G]``, ``yty [1]`` are float64 accumulators;
+    returns True if the native path ran (False = caller must fall back
+    to the device scatter, ``models/ski.py::compute_stats``).  The
+    stencil is the same Keys cubic as the Python builder; accumulation
+    is f64 regardless of data dtype.
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    lo = np.ascontiguousarray(lo, dtype=np.float64)
+    h = np.ascontiguousarray(h, dtype=np.float64)
+    sz = np.ascontiguousarray(np.asarray(sizes), dtype=np.int32)
+    m, d = x.shape
+    rc = lib.ski_stats_accum(
+        _dptr(x), _dptr(y), m, d, _dptr(lo), _dptr(h),
+        sz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _dptr(z), _dptr(wty), _dptr(yty),
+    )
+    return rc == 0
+
+
+def gather_rows_f32(
+    src: np.ndarray, idx: np.ndarray, out: np.ndarray
+) -> bool:
+    """``out[i] = src[idx[i]]`` for f32 row-major matrices (src may be
+    an ``np.memmap``).  Returns True if the native path ran."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert src.dtype == np.float32 and out.dtype == np.float32
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    n, row = src.shape
+    lib.gather_rows_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, row,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        idx.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return True
