@@ -295,6 +295,76 @@ def fit(
     return SVGPFit(carry[0], jnp.concatenate(parts))
 
 
+def fit_streamed(
+    kern: Kernel,
+    lik,
+    dataset,
+    z0: Array,
+    *,
+    vp0: Optional[SVGPParams] = None,
+    batch_size: int = 1024,
+    epochs: int = 1,
+    learning_rate: float = 0.05,
+    opt_z: bool = True,
+    seed: int = 0,
+    sync_every: int = 50,
+    config: Config = DEFAULT,
+) -> SVGPFit:
+    """Minibatch Adam over an **out-of-core** dataset.
+
+    ``dataset`` is a :class:`~pygpr_tpu.utils.dataset.BinaryDataset`
+    (or anything with ``.n``, ``.x`` and a ``minibatches`` iterator):
+    batches are gathered from the memory-mapped file by the native
+    prefetch loader on a background thread while the TPU runs the
+    previous step — the data never has to fit in host RAM, let alone
+    HBM (contrast :func:`fit`, whose single-scan design gathers from a
+    device-resident ``x``).  One jitted step function is compiled once
+    (static batch shape, ``drop_last``); ``sync_every`` bounds the
+    in-flight work with a periodic host fetch (remote-TPU rule:
+    never queue unbounded work, CLAUDE.md).
+    """
+    import optax
+
+    _check_noise_free(kern)
+    n = dataset.n
+    if vp0 is None:
+        head = jnp.asarray(
+            np.array(dataset.x[: max(4 * batch_size, 1024)])
+        )
+        vp0 = init_variational(kern, lik, head, jnp.asarray(z0), config)
+    scale = n / batch_size
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(carry, xb, yb):
+        vp, ostate = carry
+        val, g = jax.value_and_grad(
+            lambda v: neg_elbo(
+                kern, lik, v, xb, yb, scale=scale, config=config
+            )
+        )(vp)
+        if not opt_z:
+            g = g._replace(z=jnp.zeros_like(g.z))
+        updates, ostate = opt.update(g, ostate, vp)
+        vp = optax.apply_updates(vp, updates)
+        return (vp, ostate), val
+
+    carry = (vp0, opt.init(vp0))
+    losses = []
+    k = 0
+    for xb, yb in dataset.minibatches(
+        batch_size, seed=seed, epochs=epochs
+    ):
+        carry, val = step(carry, jnp.asarray(xb), jnp.asarray(yb))
+        losses.append(val)
+        k += 1
+        if k % sync_every == 0:
+            float(val)  # bound in-flight device work
+    if not losses:
+        raise ValueError("dataset yielded no full batches")
+    return SVGPFit(carry[0], jnp.stack(losses))
+
+
 class SVGP:
     """Stateful wrapper in the house OO style (cf. :class:`SGPR`).
 

@@ -109,3 +109,32 @@ def test_streamed_stats_arrays_source_and_fit(rng):
                              grid)
     np.testing.assert_allclose(np.asarray(res.params),
                                np.asarray(res_ref.params), rtol=1e-3)
+
+
+def test_svgp_fit_streamed_classification(tmp_path, rng):
+    """Out-of-core SVGP: minibatches stream from the memory-mapped
+    file through the native loader; the classifier actually learns."""
+    import jax.numpy as jnp
+
+    from pygpr_tpu.models import obs, svgp
+    from pygpr_tpu.ops.kernels import RBF
+
+    n = 4096
+    x = rng.uniform(-2.0, 2.0, size=(n, 2)).astype(np.float32)
+    y = (x[:, 0] * x[:, 1] > 0).astype(np.float32)
+    ds = BinaryDataset.write(str(tmp_path / "cls.bin"), x, y)
+    z0 = x[rng.choice(n, 24, replace=False)]
+    fit = svgp.fit_streamed(
+        RBF(), obs.BernoulliLogit(), ds, jnp.asarray(z0),
+        batch_size=512, epochs=6, learning_rate=0.1, seed=0,
+    )
+    losses = np.asarray(fit.losses)
+    assert np.isfinite(losses).all()
+    assert losses[-8:].mean() < losses[:8].mean() * 0.7
+
+    xs = rng.uniform(-1.8, 1.8, size=(400, 2)).astype(np.float32)
+    p, _ = svgp.predict(RBF(), obs.BernoulliLogit(), fit.params,
+                        jnp.asarray(xs))
+    acc = float(np.mean(
+        (np.asarray(p) > 0.5) == (xs[:, 0] * xs[:, 1] > 0)))
+    assert acc > 0.9, acc
