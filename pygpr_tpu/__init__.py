@@ -62,7 +62,17 @@ from pygpr_tpu.models.grbcm import GRBCM
 from pygpr_tpu.models.sgpr import SGPR
 from pygpr_tpu.models.iterative import IterativeGP
 from pygpr_tpu.models.ski import SKIGP
-from pygpr_tpu.models import committee, grbcm, iterative, obs, sgpr, ski, svgp
+from pygpr_tpu.models import (
+    committee,
+    grbcm,
+    iterative,
+    laplace,
+    obs,
+    sgpr,
+    ski,
+    svgp,
+)
+from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

@@ -31,6 +31,7 @@ from pygpr_tpu.models.obs import (
     StudentTLik,
 )
 from pygpr_tpu.models.dkl import DeepKernel, DKLFit, fit_dkl
+from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.iterative import IterativeGP
 from pygpr_tpu.models.ski import SKIGP
 from pygpr_tpu.models.means import (

@@ -12,6 +12,11 @@ needs, both as shape-``[nb]``-vectorized pure functions:
     ``jnp``, MXU/VPU friendly: the GH sum is one [nb, H] broadcast).
   * ``predict(lp, mu, var)`` — moments of the posterior predictive of
     the OBSERVATION given the latent marginal N(mu, var).
+  * ``log_lik(lp, y, f)`` — the pointwise log density ``log p(y | f)``
+    at a latent VALUE (not a distribution), elementwise over any
+    broadcastable ``y/f`` shapes.  This is what the Laplace
+    approximation (``models/laplace.py``) Newton-iterates on; its
+    f-derivatives are taken by AD, so no hand-coded Hessians.
 
 ``lp`` is the likelihood's own (unconstrained, log-space) parameter
 vector — e.g. Gaussian log σₙ; empty for Bernoulli/Poisson.
@@ -61,6 +66,12 @@ class GaussianLik:
             + ((y - mu) ** 2 + var) / sn2
         )
 
+    def log_lik(self, lp, y, f):
+        sn2 = jnp.exp(2.0 * lp[0])
+        return -0.5 * (
+            math.log(2.0 * math.pi) + 2.0 * lp[0] + (y - f) ** 2 / sn2
+        )
+
     def predict(self, lp, mu, var):
         return mu, var + jnp.exp(2.0 * lp[0])
 
@@ -80,6 +91,9 @@ class BernoulliLogit:
         return gauss_hermite(
             lambda f: -jax.nn.softplus(-s[..., None] * f), mu, var
         )
+
+    def log_lik(self, lp, y, f):
+        return -jax.nn.softplus(-(2.0 * y - 1.0) * f)
 
     def predict(self, lp, mu, var):
         p = gauss_hermite(jax.nn.sigmoid, mu, var)
@@ -102,6 +116,9 @@ class BernoulliProbit:
             mu,
             var,
         )
+
+    def log_lik(self, lp, y, f):
+        return jax.scipy.stats.norm.logcdf((2.0 * y - 1.0) * f)
 
     def predict(self, lp, mu, var):
         p = jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + var))
@@ -144,6 +161,17 @@ class StudentTLik:
 
         return gauss_hermite(logpdf, mu, var)
 
+    def log_lik(self, lp, y, f):
+        nu = self.nu
+        lognorm = (
+            jax.lax.lgamma(jnp.asarray((nu + 1.0) / 2.0, f.dtype))
+            - jax.lax.lgamma(jnp.asarray(nu / 2.0, f.dtype))
+            - 0.5 * math.log(nu * math.pi)
+            - lp[0]
+        )
+        r2 = ((y - f) / jnp.exp(lp[0])) ** 2
+        return lognorm - 0.5 * (nu + 1.0) * jnp.log1p(r2 / nu)
+
     def predict(self, lp, mu, var):
         s2 = jnp.exp(2.0 * lp[0])
         return mu, var + self.nu * s2 / (self.nu - 2.0)
@@ -164,6 +192,9 @@ class PoissonLik:
             - jnp.exp(mu + 0.5 * var)
             - jax.lax.lgamma(y + 1.0)
         )
+
+    def log_lik(self, lp, y, f):
+        return y * f - jnp.exp(f) - jax.lax.lgamma(y + 1.0)
 
     def predict(self, lp, mu, var):
         # moments of a log-Gaussian-rate Poisson mixture
