@@ -6,6 +6,11 @@ from pygpr_tpu.sample.designs import (
     euclidean_dist,
     sample_gp,
 )
+from pygpr_tpu.sample.ess import (
+    ESSResult,
+    predictive_latent_mixture,
+    sample_latent,
+)
 from pygpr_tpu.sample.mcmc import (
     MCMCResult,
     effective_sample_size,
