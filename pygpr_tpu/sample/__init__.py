@@ -11,6 +11,11 @@ from pygpr_tpu.sample.ess import (
     predictive_latent_mixture,
     sample_latent,
 )
+from pygpr_tpu.sample.nuts import (
+    NUTSResult,
+    run_nuts,
+    sample_posterior_nuts,
+)
 from pygpr_tpu.sample.mcmc import (
     MCMCResult,
     effective_sample_size,
