@@ -64,6 +64,7 @@ from pygpr_tpu.models.iterative import IterativeGP
 from pygpr_tpu.models.ski import SKIGP
 from pygpr_tpu.models import (
     committee,
+    ep,
     grbcm,
     iterative,
     laplace,
@@ -73,6 +74,7 @@ from pygpr_tpu.models import (
     svgp,
 )
 from pygpr_tpu.models.laplace import LaplaceGP
+from pygpr_tpu.models.ep import EPGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

@@ -75,6 +75,20 @@ class GaussianLik:
     def predict(self, lp, mu, var):
         return mu, var + jnp.exp(2.0 * lp[0])
 
+    def tilted_moments(self, lp, y, mu, var):
+        """Exact moments of ``N(f; mu, var)·N(y; f, σₙ²)`` — a product
+        of Gaussians, so EP (``models/ep.py``) with this likelihood
+        terminates at the exact posterior and exact LML (the parity
+        anchor the EP tests pin)."""
+        sn2 = jnp.exp(2.0 * lp[0])
+        tot = var + sn2
+        log_z_hat = -0.5 * (
+            math.log(2.0 * math.pi) + jnp.log(tot) + (y - mu) ** 2 / tot
+        )
+        var_hat = var * sn2 / tot
+        mu_hat = var_hat * (mu / var + y / sn2)
+        return log_z_hat, mu_hat, var_hat
+
 
 class BernoulliLogit:
     """y ∈ {0, 1}, p(y=1|f) = σ(f).  GH quadrature expectation;
@@ -123,6 +137,21 @@ class BernoulliProbit:
     def predict(self, lp, mu, var):
         p = jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + var))
         return p, p * (1.0 - p)
+
+    def tilted_moments(self, lp, y, mu, var):
+        """Closed-form moments of ``N(f; mu, var)·Φ(s f)`` (R&W
+        §3.9 eqs. 3.80-3.83) — used by the EP site updates
+        (``models/ep.py``); the probit is the one likelihood whose
+        tilted integrals are exact.  Returns ``(log Ẑ, μ̂, σ̂²)``."""
+        s = 2.0 * y - 1.0
+        denom = jnp.sqrt(1.0 + var)
+        z = s * mu / denom
+        log_z_hat = jax.scipy.stats.norm.logcdf(z)
+        # N(z)/Φ(z), computed in log space for deep-tail stability
+        ratio = jnp.exp(jax.scipy.stats.norm.logpdf(z) - log_z_hat)
+        mu_hat = mu + s * var * ratio / denom
+        var_hat = var - var**2 * ratio * (z + ratio) / (1.0 + var)
+        return log_z_hat, mu_hat, var_hat
 
 
 class StudentTLik:
