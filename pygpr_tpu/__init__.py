@@ -69,6 +69,7 @@ from pygpr_tpu.models import (
     iterative,
     laplace,
     obs,
+    rff,
     sgpr,
     ski,
     svgp,
