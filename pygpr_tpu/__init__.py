@@ -73,9 +73,11 @@ from pygpr_tpu.models import (
     sgpr,
     ski,
     svgp,
+    warped,
 )
 from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.ep import EPGP
+from pygpr_tpu.models.warped import WarpedGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,
