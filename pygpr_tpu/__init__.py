@@ -67,6 +67,7 @@ from pygpr_tpu.models import (
     ep,
     grbcm,
     iterative,
+    kronecker,
     laplace,
     obs,
     rff,
@@ -78,6 +79,7 @@ from pygpr_tpu.models import (
 from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.ep import EPGP
 from pygpr_tpu.models.warped import WarpedGP
+from pygpr_tpu.models.kronecker import KroneckerGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,
