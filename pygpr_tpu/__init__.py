@@ -73,6 +73,7 @@ from pygpr_tpu.models import (
     rff,
     sgpr,
     ski,
+    statespace,
     svgp,
     warped,
 )
@@ -80,6 +81,7 @@ from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.ep import EPGP
 from pygpr_tpu.models.warped import WarpedGP
 from pygpr_tpu.models.kronecker import KroneckerGP
+from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,
