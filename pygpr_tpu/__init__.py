@@ -74,6 +74,7 @@ from pygpr_tpu.models import (
     sgpr,
     ski,
     statespace,
+    tprocess,
     svgp,
     warped,
 )
@@ -82,6 +83,7 @@ from pygpr_tpu.models.ep import EPGP
 from pygpr_tpu.models.warped import WarpedGP
 from pygpr_tpu.models.kronecker import KroneckerGP
 from pygpr_tpu.models.statespace import StateSpaceGP
+from pygpr_tpu.models.tprocess import TProcess
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

@@ -40,6 +40,13 @@ scalability story is the grBCM committee (SURVEY.md §5.7).
 Time points must be SORTED ascending (sort on the host — data prep
 stays in NumPy per the repo policy); duplicates are allowed (Δt = 0
 steps carry A = I, Q = 0).
+
+Compile-cost note (remote-TPU tunnel): the associative scan unrolls
+log₂n combine rounds, so the first compile is heavy — measured ~20 s
+at n = 16k, ~45 s at n = 200k, ~130 s at n = 10⁶ for the NLML program
+(the filter+smoother posterior is larger still).  Steady-state
+execution after compile is 0.1-0.8 s at those sizes.  Keep shapes
+static across calls.
 """
 
 from __future__ import annotations
@@ -62,13 +69,21 @@ Array = jax.Array
 
 
 def _bmm(a: Array, b: Array) -> Array:
-    """[d,d,n] @ [d,d,n] per lane — d²-unrolled multiply-adds."""
-    return jnp.einsum("ikn,kjn->ijn", a, b)
+    """[d,d,n] @ [d,d,n] per lane — d²-unrolled multiply-adds.
+    HIGHEST precision: on TPU the default routes these contractions
+    through bf16, and the filter's cancellation-heavy recursions
+    (Q = P∞ − AP∞Aᵀ with λΔt ≪ 1, the combine's I + CJ inverses)
+    turn bf16 rounding into NaNs at n ≳ 10⁴."""
+    return jnp.einsum(
+        "ikn,kjn->ijn", a, b, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def _bmv(a: Array, v: Array) -> Array:
-    """[d,d,n] @ [d,n] per lane."""
-    return jnp.einsum("ikn,kn->in", a, v)
+    """[d,d,n] @ [d,n] per lane (HIGHEST — see :func:`_bmm`)."""
+    return jnp.einsum(
+        "ikn,kn->in", a, v, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def _t(a: Array) -> Array:

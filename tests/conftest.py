@@ -30,3 +30,18 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite accumulates ~10³ distinct XLA CPU compilations; at
+    around the 90% mark the compiler reproducibly dies inside
+    ``backend_compile_and_load`` (SIGSEGV/SIGABRT — resource
+    exhaustion in the in-process code cache), even though every module
+    passes in isolation.  Dropping the caches per module keeps the
+    peak bounded at the cost of a few cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
