@@ -130,6 +130,7 @@ from pygpr_tpu.optimize import (
 from pygpr_tpu import interop, optimize, parallel, sample, utils
 from pygpr_tpu.sample import (
     Matern1,
+    Sobol,
     Uniform,
     cluster_samples,
     euclidean_dist,

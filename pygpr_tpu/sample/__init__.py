@@ -1,5 +1,6 @@
 from pygpr_tpu.sample.designs import (
     Matern1,
+    Sobol,
     Uniform,
     assign_clusters,
     cluster_samples,

@@ -91,6 +91,38 @@ class Uniform:
         return jnp.asarray(out, dtype=jnp.asarray(mins).dtype)
 
 
+class Sobol(Uniform):
+    """Scrambled Sobol quasi-Monte-Carlo box design (beyond
+    reference — the third input-design family next to ``Uniform`` and
+    the hard-core ``Matern1``).
+
+    QMC sequences fill the box with O((log n)^d / n) star discrepancy
+    versus Monte Carlo's O(n^{-1/2}) — the right default for inducing
+    points, BayesOpt initializers, and committee center seeding.
+    Host-side SciPy (``scipy.stats.qmc.Sobol``), Owen-scrambled with
+    the same seed/key discipline as :class:`Uniform`.
+    """
+
+    def sample(
+        self,
+        n: int,
+        mins,
+        maxs,
+        key: Optional[Array] = None,
+        salt: int = 0,
+    ) -> Array:
+        from scipy.stats import qmc
+
+        rng = self._host_rng(key, salt)
+        mins_h = np.asarray(mins, np.float64)
+        maxs_h = np.asarray(maxs, np.float64)
+        dim = mins_h.shape[-1]
+        eng = qmc.Sobol(d=dim, scramble=True, rng=rng)
+        u = eng.random(n)
+        out = mins_h + u * (maxs_h - mins_h)
+        return jnp.asarray(out, dtype=jnp.asarray(mins).dtype)
+
+
 class Matern1(Uniform):
     """Matérn type-I hard-core repulsive sampler (reference ``MATERN1``)."""
 

@@ -248,3 +248,23 @@ def test_hmc_posterior_moments(rng):
     assert 0.05 < float(mean[-1]) < 0.25
     rhat = np.asarray(split_rhat(res.samples))
     assert np.all(rhat < 1.3)
+
+
+def test_sobol_design_low_discrepancy():
+    """Scrambled Sobol: deterministic per seed, in-box, and lower
+    centered L2 discrepancy than iid uniform at the same n (the
+    property QMC designs exist for)."""
+    from scipy.stats import qmc
+
+    from pygpr_tpu.sample import Sobol
+
+    mins, maxs = jnp.zeros(3), jnp.ones(3)
+    x = Sobol(seed=1).sample(256, mins, maxs)
+    x2 = Sobol(seed=1).sample(256, mins, maxs)
+    x3 = Sobol(seed=2).sample(256, mins, maxs)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2))
+    assert not np.allclose(np.asarray(x), np.asarray(x3))
+    xa = np.asarray(x)
+    assert (xa >= 0).all() and (xa <= 1).all()
+    u = np.asarray(gp.Uniform(seed=1).sample(256, mins, maxs))
+    assert qmc.discrepancy(xa) < 0.25 * qmc.discrepancy(u)
