@@ -69,6 +69,7 @@ from pygpr_tpu.models import (
     iterative,
     kronecker,
     laplace,
+    multifidelity,
     obs,
     rff,
     sgpr,
@@ -84,6 +85,7 @@ from pygpr_tpu.models.warped import WarpedGP
 from pygpr_tpu.models.kronecker import KroneckerGP
 from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.tprocess import TProcess
+from pygpr_tpu.models.multifidelity import MultiFidelityGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

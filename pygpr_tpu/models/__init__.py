@@ -33,7 +33,8 @@ from pygpr_tpu.models.obs import (
 from pygpr_tpu.models.dkl import DeepKernel, DKLFit, fit_dkl
 from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.ep import EPGP
-from pygpr_tpu.models import kronecker, rff, statespace, tprocess, warped
+from pygpr_tpu.models import kronecker, multifidelity, rff, statespace, tprocess, warped
+from pygpr_tpu.models.multifidelity import MultiFidelityGP
 from pygpr_tpu.models.tprocess import TProcess
 from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.kronecker import KroneckerGP
