@@ -14,6 +14,7 @@ The public namespace is flat, mirroring the reference's
 
 from pygpr_tpu.config import DEFAULT, Config, default_dtype
 from pygpr_tpu.ops.kernels import (
+    ArcCosine,
     RBF,
     Constant,
     Kernel,

@@ -408,6 +408,96 @@ class Product(_Compose):
         return krn, jnp.concatenate(dkrns, axis=0)
 
 
+class ArcCosine(Kernel):
+    """Arc-cosine (infinite-width neural network) kernel of order
+    n ∈ {0, 1, 2} (Cho & Saul, NeurIPS 2009) — beyond-reference
+    capability and the classic non-stationary complement to the
+    radial family:
+
+        K = σ²/π · ‖x̃‖ⁿ‖x̃′‖ⁿ · J_n(θ),  x̃ = x⊙ℓ,
+        θ = ∠(x̃, x̃′),
+        J₀ = π − θ
+        J₁ = sin θ + (π − θ)·cos θ
+        J₂ = 3 sinθ cosθ + (π − θ)(1 + 2cos²θ)
+
+    the exact kernel of an infinite ReLU⁰/ReLU¹/ReLU² layer on the
+    ℓ-weighted inputs.  Params ``[σ, ℓ₁..ℓ_d]`` (house inverse-
+    lengthscale convention), init all-ones.  cos θ is clamped inside
+    (−1, 1) so autodiff of arccos stays finite on the diagonal
+    (θ = 0); the O(√ε) bias is below f32 resolution of the kernel
+    value.  All ops are one Gram matmul + elementwise — MXU-friendly,
+    no pairwise-difference tensor.  Gradients via forward-mode
+    autodiff (FD-checked).
+    """
+
+    def __init__(self, order: int = 1):
+        assert order in (0, 1, 2), "ArcCosine supports order 0, 1, 2"
+        self.order = order
+
+    def __hash__(self):
+        return hash((type(self), self.order))
+
+    def __eq__(self, other):
+        return type(other) is ArcCosine and other.order == self.order
+
+    def n_params(self, dim: int) -> int:
+        return dim + 1
+
+    def _core(self, params, x, xp, config: Config):
+        sig, ls = params[0], params[1:]
+        xl = x * ls
+        xpl = xl if xp is None else xp * ls
+        ip = jnp.dot(xpl, xl.T, precision=config.precision)  # [m, n]
+        nx = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(xl), -1), 1e-36
+        ))                                                    # [n]
+        nxp = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.square(xpl), -1), 1e-36
+        ))                                                    # [m]
+        # dtype-aware clamp: keeps arccos AD finite on the diagonal
+        # (θ=0) with an O(√eps) value bias below dtype resolution
+        ceps = 30.0 * float(jnp.finfo(x.dtype).eps)
+        cos = jnp.clip(
+            ip / (nxp[:, None] * nx[None, :]), -1.0 + ceps, 1.0 - ceps
+        )
+        theta = jnp.arccos(cos)
+        sin = jnp.sqrt(jnp.maximum(1.0 - jnp.square(cos), 0.0))
+        if self.order == 0:
+            j = math.pi - theta
+            amp = 1.0
+        elif self.order == 1:
+            j = sin + (math.pi - theta) * cos
+            amp = nxp[:, None] * nx[None, :]
+        else:
+            j = 3.0 * sin * cos + (math.pi - theta) * (
+                1.0 + 2.0 * jnp.square(cos)
+            )
+            amp = jnp.square(nxp)[:, None] * jnp.square(nx)[None, :]
+        return jnp.square(sig) / math.pi * amp * j
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        return self._core(params, x, xp, config)
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        sig, ls = params[0], params[1:]
+        n2 = jnp.maximum(jnp.sum(jnp.square(x * ls), -1), 1e-36)
+        if self.order == 0:
+            amp = jnp.ones_like(n2)
+            j0 = math.pi
+        elif self.order == 1:
+            amp = n2
+            j0 = math.pi
+        else:
+            amp = jnp.square(n2)
+            j0 = 3.0 * math.pi
+        return jnp.square(sig) / math.pi * amp * j0
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
+        return krn, jnp.moveaxis(jac, -1, 0)
+
+
 class RationalQuadratic(Kernel):
     """ARD rational-quadratic kernel (beyond-reference capability).
 

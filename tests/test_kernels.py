@@ -322,3 +322,55 @@ def test_rq_extreme_alpha_finite(rng):
     np.testing.assert_allclose(
         np.asarray(kernel_matrix(cov, hp_hi, x)), krbf, atol=1e-5
     )
+
+
+def test_arccosine_family():
+    """Arc-cosine kernel (Cho & Saul 2009): symmetry, PSD, diagonal
+    closed forms, analytic-vs-FD gradients, batched==stacked, and the
+    defining Monte-Carlo identity — order-1 equals the infinite-width
+    ReLU feature expectation 2·E[relu(wᵀx̃)·relu(wᵀx̃′)]."""
+    from pygpr_tpu.ops.kernels import ArcCosine, kernel_matrix
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(30, 3)))
+    p = jnp.asarray([1.1, 1.0, 0.8, 1.2])
+
+    for order in (0, 1, 2):
+        k = ArcCosine(order)
+        K = np.asarray(k.matrix(p, x))
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        assert np.linalg.eigvalsh(K).min() > -1e-9
+        np.testing.assert_allclose(
+            np.diag(K), np.asarray(k.diag(p, x)), rtol=1e-6
+        )
+        _, dk = k.matrix_and_grad(p, x)
+        eps = 1e-6
+        for i in range(4):
+            e = jnp.zeros(4).at[i].set(eps)
+            fd = (
+                np.asarray(k.matrix(p + e, x))
+                - np.asarray(k.matrix(p - e, x))
+            ) / (2 * eps)
+            np.testing.assert_allclose(
+                np.asarray(dk[i]), fd, atol=1e-5
+            )
+
+    # batched == stacked through the generic vmap path
+    xb = jnp.asarray(rng.normal(size=(3, 20, 2)))
+    pb = jnp.asarray([[1.0, 1.0, 1.0]] * 3)
+    k1 = ArcCosine(1)
+    Kb = np.asarray(kernel_matrix(k1, pb, xb))
+    for c in range(3):
+        np.testing.assert_allclose(
+            Kb[c], np.asarray(k1.matrix(pb[c], xb[c])), rtol=1e-12
+        )
+
+    # MC identity: k₁(x,x') = 2σ²·E_w[relu(wᵀx̃)relu(wᵀx̃')], w~N(0,I)
+    xs = jnp.asarray(rng.normal(size=(6, 3)))
+    ls = np.array([1.0, 0.8, 1.2])
+    xt = np.asarray(xs) * ls
+    w = rng.standard_normal((400_000, 3))
+    a = np.maximum(w @ xt.T, 0.0)                 # [S, 6]
+    k_mc = 2.0 * 1.1**2 * (a.T @ a) / w.shape[0]
+    K = np.asarray(ArcCosine(1).matrix(jnp.asarray([1.1, *ls]), xs))
+    np.testing.assert_allclose(K, k_mc, rtol=0.05, atol=0.01)
