@@ -323,12 +323,11 @@ def _filter_assoc(a_s, q_s, p0, y, r_var, mask):
     return b_c[:, 0, :], ps
 
 
-def _smooth_assoc(a_s, q_s, ms, ps):
-    """Parallel-scan RTS smoother (same paper, lemma 9-10): affine
-    elements (E, g, L) combined by a reversed associative scan.
-    Lane-major in/out."""
+def _smooth_build(a_s, q_s, ms, ps):
+    """Smoother gain/offset elements from the filtered states →
+    ``(E [d,d,n], g [d,1,n], L [d,d,n])`` (last element = identity on
+    the final filtered state)."""
     d, n = ms.shape
-
     a_next, q_next = a_s[:, :, 1:], q_s[:, :, 1:]
     m_f, p_f = ms[:, :-1], ps[:, :, :-1]
     p_pred = _bmm(_bmm(a_next, p_f), _t(a_next)) + q_next
@@ -341,6 +340,18 @@ def _smooth_assoc(a_s, q_s, ms, ps):
     )
     g_all = jnp.concatenate([gm, ms[:, -1:]], axis=-1)[:, None, :]
     l_all = jnp.concatenate([l_mat, ps[:, :, -1:]], axis=-1)
+    return e_all, g_all, l_all
+
+
+def _smooth_scan(e_all, g_all, l_all):
+    """Reversed associative scan over the affine smoother elements.
+
+    Kept as its OWN jit unit on the host path: compiling this scan in
+    the same XLA program as the filter that produces its operands makes
+    the TPU compile scale linearly with n (28 s → 49 s → 108 s at
+    8k/16k/32k, >10 min at 65k; an optimization_barrier does not help),
+    while the same scan compiled standalone is flat ~7 s at any n.
+    """
 
     def combine(suffix, elem):
         # reverse=True scans the reversed sequence forward, so arg0 is
@@ -359,6 +370,13 @@ def _smooth_assoc(a_s, q_s, ms, ps):
         combine, (e_all, g_all, l_all), reverse=True, axis=2
     )
     return g_c[:, 0, :], l_c
+
+
+def _smooth_assoc(a_s, q_s, ms, ps):
+    """Parallel-scan RTS smoother (same paper, lemma 9-10) — build +
+    reversed scan in one trace (the fallback used under an enclosing
+    jit; the host path runs the two stages as separate programs)."""
+    return _smooth_scan(*_smooth_build(a_s, q_s, ms, ps))
 
 
 # --------------------------------------------------------------------
@@ -410,6 +428,42 @@ def nlml_ss(
     )
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(0, 5))
+def _posterior_core(nu, params, t_sorted, y_all, mask, parallel):
+    """Single-program filter + smoother on a pre-merged chain — the
+    traced fallback (under an enclosing jit).  NOTE: for the parallel
+    path this compiles slowly at large n on TPU (see
+    :func:`_smooth_scan`); the host path below splits the stages."""
+    a_s, q_s, p_inf, r_var = _prep(nu, params, t_sorted, y_all, None)
+    if parallel:
+        ms, ps = _filter_assoc(a_s, q_s, p_inf, y_all, r_var, mask)
+        ms_s, ps_s = _smooth_assoc(a_s, q_s, ms, ps)
+    else:
+        ms, ps, _ = _filter_seq(a_s, q_s, p_inf, y_all, r_var, mask)
+        ms_s, ps_s = _smooth_seq(a_s, q_s, ms, ps)
+    return ms_s[0], ps_s[0, 0]
+
+
+@_partial(jax.jit, static_argnums=(0,))
+def _posterior_stage_a(nu, params, t_sorted, y_all, mask):
+    """Host-path stage A: prep + parallel filter + smoother-element
+    build → (E, g, L)."""
+    a_s, q_s, p_inf, r_var = _prep(nu, params, t_sorted, y_all, None)
+    ms, ps = _filter_assoc(a_s, q_s, p_inf, y_all, r_var, mask)
+    return _smooth_build(a_s, q_s, ms, ps)
+
+
+@jax.jit
+def _posterior_stage_b(e_all, g_all, l_all):
+    """Host-path stage B: the reversed scan as its own XLA program
+    (flat ~7 s TPU compile at any n — see :func:`_smooth_scan`)."""
+    g_c, l_c = _smooth_scan(e_all, g_all, l_all)
+    return g_c[0], l_c[0, 0]
+
+
 def posterior_ss(
     nu: float,
     params: Array,
@@ -424,32 +478,57 @@ def posterior_ss(
     ``tq`` — merge the queries into the chain as unobserved steps
     (mask = 0: pure prediction), filter + RTS-smooth, read them back.
 
-    Returns ``(mean [nq], var [nq])`` of the LATENT function (add σₙ²
-    for the observation-space predictive).
+    The merge/sort happens on the HOST (NumPy) when the time arrays
+    are concrete — sorting is data prep, and tracing it into the TPU
+    program made the remote compile explode; the smoother core is a
+    cached jitted program.  Under an enclosing ``jit`` (traced times)
+    the fully-traced fallback is used.  Returns ``(mean [nq],
+    var [nq])`` of the LATENT function (add σₙ² for the
+    observation-space predictive).
     """
     dtype = y.dtype
     n, nq = t.shape[0], tq.shape[0]
-    t_all = jnp.concatenate([t, tq])
-    order = jnp.argsort(t_all)
-    t_sorted = t_all[order]
-    y_all = jnp.concatenate([y, jnp.zeros((nq,), dtype)])[order]
-    mask = jnp.concatenate(
-        [jnp.ones((n,), dtype), jnp.zeros((nq,), dtype)]
-    )[order]
 
-    a_s, q_s, p_inf, r_var = _prep(
-        nu, params, t_sorted, y_all, config
+    if isinstance(t, jax.core.Tracer) or isinstance(
+        tq, jax.core.Tracer
+    ) or isinstance(y, jax.core.Tracer):
+        t_all = jnp.concatenate([t, tq])
+        order = jnp.argsort(t_all)
+        t_sorted = t_all[order]
+        y_all = jnp.concatenate([y, jnp.zeros((nq,), dtype)])[order]
+        mask = jnp.concatenate(
+            [jnp.ones((n,), dtype), jnp.zeros((nq,), dtype)]
+        )[order]
+        m_all, v_all = _posterior_core.__wrapped__(
+            nu, params, t_sorted, y_all, mask, parallel
+        )
+        qpos = jnp.argsort(order)[n:]
+        return m_all[qpos], v_all[qpos]
+
+    t_h = np.asarray(t)
+    tq_h = np.asarray(tq)
+    order = np.argsort(
+        np.concatenate([t_h, tq_h]), kind="stable"
     )
-    if parallel:
-        ms, ps = _filter_assoc(a_s, q_s, p_inf, y_all, r_var, mask)
-        ms_s, ps_s = _smooth_assoc(a_s, q_s, ms, ps)
-    else:
-        ms, ps, _ = _filter_seq(a_s, q_s, p_inf, y_all, r_var, mask)
-        ms_s, ps_s = _smooth_seq(a_s, q_s, ms, ps)
+    t_sorted = jnp.asarray(np.concatenate([t_h, tq_h])[order], dtype)
+    y_all = jnp.asarray(
+        np.concatenate([np.asarray(y), np.zeros(nq)])[order], dtype
+    )
+    mask = jnp.asarray(
+        np.concatenate([np.ones(n), np.zeros(nq)])[order], dtype
+    )
+    qpos = np.argsort(order, kind="stable")[n:]
 
-    inv_order = jnp.argsort(order)
-    qpos = inv_order[n:]
-    return ms_s[0, qpos], ps_s[0, 0, qpos]
+    if parallel:
+        e_all, g_all, l_all = _posterior_stage_a(
+            nu, params, t_sorted, y_all, mask
+        )
+        m_all, v_all = _posterior_stage_b(e_all, g_all, l_all)
+    else:
+        m_all, v_all = _posterior_core(
+            nu, params, t_sorted, y_all, mask, False
+        )
+    return m_all[jnp.asarray(qpos)], v_all[jnp.asarray(qpos)]
 
 
 class FitSSResult(NamedTuple):
