@@ -93,7 +93,7 @@ print(f"[3] EP classifier   n={nc}: evidence {-float(res.nlml):.1f}, "
       f"accuracy {acc:.3f}  ({time.time()-t0:.1f}s)")
 
 # --- 4. warped GP on log-normal targets ------------------------------
-nw = 512
+nw = 256
 xw = np.sort(rng.uniform(0, 4, (nw, 1)), axis=0).astype(f32)
 yw = np.exp(np.sin(2 * xw[:, 0])
             + 0.15 * rng.normal(size=nw)).astype(f32)
@@ -101,7 +101,7 @@ cov = gp.Sum((gp.RBF(), gp.WhiteNoise()))
 warp = warped.TanhWarp(3)
 t0 = time.time()
 res_w = warped.fit_warped(cov, warp, jnp.asarray(xw), jnp.asarray(yw),
-                          max_iter=80)
+                          max_iter=200)
 xs = np.linspace(0.1, 3.9, 128, dtype=f32)[:, None]
 m_w, v_w, med = warped.predict_warped(
     cov, res_w.state, warp, res_w.warp_params, jnp.asarray(xs)
