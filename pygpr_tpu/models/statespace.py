@@ -273,17 +273,11 @@ def _smooth_seq(a_s, q_s, ms, ps):
 # --------------------------------------------------------------------
 
 
-def _filter_assoc(a_s, q_s, p0, y, r_var, mask):
-    """Parallel-scan Kalman filter (Särkkä & García-Fernández 2021,
-    lemmas 7-8).  Elements (A, b, C, η, J) per step, combined in log₂n
-    rounds; all algebra lane-major [d,d,n].
-
-    Masked steps (mask=0) degrade to pure prediction elements
-    (A_i, 0, Q_i, 0, 0).  Returns filtered (m [d,n], P [d,d,n]).
-    """
-    d = a_s.shape[0]
-
-    # per-step elements, vectorized over lanes
+def _filter_elements(a_s, q_s, y, r_var, mask):
+    """Per-step filter elements (A, b, C, η, J) — vectors as [d,1,n]
+    columns so every pytree leaf is rank-3 (associative_scan takes ONE
+    axis index for the whole tree).  Masked steps (mask=0) degrade to
+    pure prediction elements (A_i, 0, Q_i, 0, 0)."""
     s = q_s[0, 0] + r_var                             # [n]
     k = q_s[:, 0] / s                                 # [d, n]
     a_row = a_s[0]                                    # [d, n]  (HA)
@@ -292,29 +286,43 @@ def _filter_assoc(a_s, q_s, p0, y, r_var, mask):
     c = q_s - mask * k[:, None, :] * q_s[0][None, :, :]
     eta = mask * a_row * (y / s)                      # [d, n]
     j = mask * a_row[:, None, :] * a_row[None, :, :] / s
+    return ikh_a, b[:, None, :], c, eta[:, None, :], j
 
-    eye = jnp.eye(d, dtype=a_s.dtype)[:, :, None]
 
-    def combine(e1, e2):
-        # vectors ride as [d, 1, n] columns so every leaf is rank-3
-        # (associative_scan takes ONE axis index for the whole pytree)
-        a1, b1, c1, eta1, j1 = e1
-        a2, b2, c2, eta2, j2 = e2
-        m_inv = _inv(eye + _bmm(c1, j2))
-        a = _bmm(a2, _bmm(m_inv, a1))
-        b_out = _bmm(a2, _bmm(m_inv, b1 + _bmm(c1, eta2))) + b2
-        c_out = _bmm(a2, _bmm(_bmm(m_inv, c1), _t(a2))) + c2
-        mt_inv = _inv(eye + _bmm(j2, c1))
-        eta_out = _bmm(
-            _t(a1), _bmm(mt_inv, eta2 - _bmm(j2, b1))
-        ) + eta1
-        j_out = _bmm(_t(a1), _bmm(_bmm(mt_inv, j2), a1)) + j1
-        return a, b_out, c_out, eta_out, j_out
+def _filter_combine(e1, e2):
+    """Associative combination of filter elements (arg0 earlier)."""
+    a1, b1, c1, eta1, j1 = e1
+    a2, b2, c2, eta2, j2 = e2
+    d = a1.shape[0]
+    eye = jnp.eye(d, dtype=a1.dtype)[:, :, None]
+    m_inv = _inv(eye + _bmm(c1, j2))
+    a = _bmm(a2, _bmm(m_inv, a1))
+    b_out = _bmm(a2, _bmm(m_inv, b1 + _bmm(c1, eta2))) + b2
+    c_out = _bmm(a2, _bmm(_bmm(m_inv, c1), _t(a2))) + c2
+    mt_inv = _inv(eye + _bmm(j2, c1))
+    eta_out = _bmm(_t(a1), _bmm(mt_inv, eta2 - _bmm(j2, b1))) + eta1
+    j_out = _bmm(_t(a1), _bmm(_bmm(mt_inv, j2), a1)) + j1
+    return a, b_out, c_out, eta_out, j_out
 
+
+def _filter_identity(d: int, n: int, dtype):
+    """Left identity of the filter monoid: (I, 0, 0, 0, 0)."""
+    eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=dtype)[:, :, None], (d, d, n)
+    )
+    zv = jnp.zeros((d, 1, n), dtype)
+    zm = jnp.zeros((d, d, n), dtype)
+    return eye, zv, zm, zv, zm
+
+
+def _filter_assoc(a_s, q_s, p0, y, r_var, mask):
+    """Parallel-scan Kalman filter (Särkkä & García-Fernández 2021,
+    lemmas 7-8), combined in log₂n rounds; all algebra lane-major
+    [d,d,n].  Returns filtered (m [d,n], P [d,d,n]).
+    """
+    elems = _filter_elements(a_s, q_s, y, r_var, mask)
     a_c, b_c, c_c, _, _ = jax.lax.associative_scan(
-        combine,
-        (ikh_a, b[:, None, :], c, eta[:, None, :], j),
-        axis=2,
+        _filter_combine, elems, axis=2
     )
     # prefix elements applied to (m₀ = 0, P₀ = p0); A₀ = 0 already
     # killed the p0 dependence, but keep the general form:

@@ -31,3 +31,4 @@ from pygpr_tpu.parallel.dist_cholesky import (
     dist_nlml,
 )
 from pygpr_tpu.parallel.ski_dp import compute_stats_dp
+from pygpr_tpu.parallel.statespace_dp import fit_ss_dp, nlml_ss_dp
