@@ -67,6 +67,7 @@ from pygpr_tpu.models import (
     committee,
     ep,
     grbcm,
+    heteroscedastic,
     iterative,
     kronecker,
     laplace,
@@ -87,6 +88,7 @@ from pygpr_tpu.models.kronecker import KroneckerGP
 from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.tprocess import TProcess
 from pygpr_tpu.models.multifidelity import MultiFidelityGP
+from pygpr_tpu.models.heteroscedastic import HeteroscedasticGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

@@ -35,6 +35,8 @@ from pygpr_tpu.models.laplace import LaplaceGP
 from pygpr_tpu.models.ep import EPGP
 from pygpr_tpu.models import kronecker, multifidelity, rff, statespace, tprocess, warped
 from pygpr_tpu.models.multifidelity import MultiFidelityGP
+from pygpr_tpu.models import heteroscedastic
+from pygpr_tpu.models.heteroscedastic import HeteroscedasticGP
 from pygpr_tpu.models.tprocess import TProcess
 from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.kronecker import KroneckerGP
