@@ -28,7 +28,7 @@ distributed hyperparameter fits.
 
 from __future__ import annotations
 
-from functools import partial
+import math
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +48,6 @@ from pygpr_tpu.models.statespace import (
 from pygpr_tpu.parallel.mesh import EXPERT_AXIS
 
 Array = jax.Array
-
-import math
 
 
 def nlml_ss_dp(
