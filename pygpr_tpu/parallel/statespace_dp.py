@@ -7,23 +7,24 @@ associativity distributes across chips with the textbook two-level
 scan (Blelloch):
 
   1. each device runs the LOCAL associative scan over its contiguous
-     time block — zero communication;
+     time block (shard_map stage 1 — zero communication);
   2. the per-block aggregate elements (one (A, b, C, η, J) tuple per
-     device, a few d² floats) are ``all_gather``-ed — the ONLY
-     collective, O(ndev·d²) bytes on the wire regardless of n;
-  3. each device folds the aggregates of its predecessors into a
-     prefix offset and applies it to its local prefixes elementwise.
+     device, a few d² floats each) are folded into per-block prefix
+     OFFSETS between the two shard_maps — a replicated O(ndev·d²)
+     computation whose gather is the only cross-device traffic;
+  3. shard_map stage 2 applies each block's offset to its local
+     prefixes elementwise and psums the innovation NLML.
 
-The innovation decomposition for the NLML additionally needs each
-block's left-boundary filtered state — the predecessor's last (m, P) —
-which rides in the same gathered aggregates (applied offsets), so the
-whole distributed NLML costs one all_gather + one psum.
+The innovation decomposition needs each block's left-boundary filtered
+state — the predecessor's last (m, P) — which is exactly the block's
+offset applied to the stationary prior, so no extra exchange.
 
 Wire cost is independent of n: weak scaling in the chain length is
 structural.  Exactness: ``nlml_ss_dp`` == single-device
 ``models.statespace.nlml_ss`` to f64 round-off (tested on the 8-device
-CPU mesh), and it is differentiable through ``shard_map`` for
-distributed hyperparameter fits.
+CPU mesh).  Gradients flow through both shard_maps UNDER JIT (the
+eager shard_map transpose currently trips an XLA sharding assert;
+``fit_ss_dp``'s L-BFGS while_loop is jitted, so fits are unaffected).
 """
 
 from __future__ import annotations
