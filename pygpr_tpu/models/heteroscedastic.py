@@ -53,6 +53,7 @@ class HGPState(NamedTuple):
     params_mean: Array
     params_noise: Array
     noise_train: Array             #: fitted per-point noise variance [n]
+    z_mean: float                  #: centering offset of the noise GP
 
 
 def fit_hgp(
@@ -62,7 +63,7 @@ def fit_hgp(
     cov_noise: Optional[Kernel] = None,
     *,
     n_rounds: int = 3,
-    damping: float = 0.5,
+    damping: float = 1.0,
     max_iter: int = 100,
     config: Config = DEFAULT,
 ) -> HGPState:
@@ -106,6 +107,8 @@ def fit_hgp(
     st_m = st0
     st_z = None
     z_prev = np.log(np.maximum(noise_var, 1e-12))
+    z_mean = float(np.mean(z_prev))
+    first_round = True
 
     for _ in range(n_rounds):
         # 2. most-likely empirical log-noise under the current fit.
@@ -117,10 +120,21 @@ def fit_hgp(
             var
         )
         z_emp = np.log(np.maximum(resid2, 1e-12)) + 1.2704
-        z_cur = (1.0 - damping) * z_prev + damping * z_emp
+        # round 0 is never damped: the homoscedastic warm start's σₙ
+        # can collapse to the interpolation mode (1e-4) on f32, and
+        # damping toward log(1e-8) would poison the whole field
+        z_cur = (
+            z_emp if first_round
+            else (1.0 - damping) * z_prev + damping * z_emp
+        )
+        first_round = False
 
-        # 3. noise GP on z
-        z_j = jnp.asarray(z_cur, dtype)
+        # 3. noise GP on z, CENTERED: z has a large negative mean
+        # (log of small variances) that a zero-mean GP must otherwise
+        # absorb into σ — on f32/TPU the uncentered fit can stall at
+        # init and silently return exp(0) = 1 noise everywhere.
+        z_mean = float(np.mean(z_cur))
+        z_j = jnp.asarray(z_cur - z_mean, dtype)
         res_z = fit_mle(
             cov_noise, cov_noise.init_params(jnp.asarray(x_h)),
             jnp.asarray(x_h), z_j, max_iter=max_iter, config=config,
@@ -131,8 +145,9 @@ def fit_hgp(
         z_hat, _ = exact_gp.predict(
             cov_noise, st_z, jnp.asarray(x_h), "none", config
         )
-        noise_var = np.exp(np.asarray(z_hat))
-        z_prev = np.asarray(z_hat)
+        z_hat = np.asarray(z_hat) + z_mean
+        noise_var = np.exp(z_hat)
+        z_prev = z_hat
 
         # 4. mean GP with the predicted noise through FixedNoise
         x_aug = jnp.asarray(with_noise(x_h, noise_var), dtype)
@@ -154,6 +169,7 @@ def fit_hgp(
         state_mean=st_m, state_noise=st_z,
         params_mean=params_m, params_noise=params_z,
         noise_train=jnp.asarray(noise_var, dtype),
+        z_mean=z_mean,
     )
 
 
@@ -186,7 +202,8 @@ def predict_hgp(
     z_mu, z_var = exact_gp.predict(
         cov_noise, state.state_noise, jnp.asarray(xq), "diag", config
     )
-    noise = jnp.exp(z_mu + 0.5 * z_var)   # log-normal mean
+    # log-normal mean, with the centering offset restored
+    noise = jnp.exp(z_mu + state.z_mean + 0.5 * z_var)
     return mu, var + noise
 
 
@@ -232,4 +249,4 @@ class HeteroscedasticGP:
             self.cov_noise, self._state.state_noise,
             jnp.asarray(xq), "diag", self.config,
         )
-        return jnp.exp(z_mu + 0.5 * z_var)
+        return jnp.exp(z_mu + self._state.z_mean + 0.5 * z_var)
