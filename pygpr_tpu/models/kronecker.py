@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from pygpr_tpu.config import DEFAULT, Config
-from pygpr_tpu.ops.kernels import Separable, _SEPARABLE_PROFILES
+from pygpr_tpu.ops.kernels import Separable
 
 Array = jax.Array
 

@@ -44,7 +44,7 @@ remote-TPU tunnel once took 251 s).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

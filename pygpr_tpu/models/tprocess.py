@@ -32,7 +32,7 @@ ladder, serving states, committee batching apply unchanged).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
