@@ -14,8 +14,10 @@ The public namespace is flat, mirroring the reference's
 
 from pygpr_tpu.config import DEFAULT, Config, default_dtype
 from pygpr_tpu.ops.kernels import (
+    ActiveDims,
     ArcCosine,
     RBF,
+    ChangePoint,
     Constant,
     Kernel,
     Linear,
@@ -89,6 +91,8 @@ from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.tprocess import TProcess
 from pygpr_tpu.models.multifidelity import MultiFidelityGP
 from pygpr_tpu.models.heteroscedastic import HeteroscedasticGP
+from pygpr_tpu.models.deepgp import DeepGP
+from pygpr_tpu.models.derivative import DerivativeGP
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

@@ -41,6 +41,8 @@ from pygpr_tpu.models.tprocess import TProcess
 from pygpr_tpu.models.statespace import StateSpaceGP
 from pygpr_tpu.models.kronecker import KroneckerGP
 from pygpr_tpu.models.warped import WarpedGP
+from pygpr_tpu.models.deepgp import DeepGP
+from pygpr_tpu.models.derivative import DerivativeGP
 from pygpr_tpu.models.iterative import IterativeGP
 from pygpr_tpu.models.ski import SKIGP
 from pygpr_tpu.models.means import (

@@ -73,7 +73,13 @@ def sq_distance(
         xp2 = jnp.sum(jnp.square(xp), axis=-1)
         g = jnp.dot(xp, x.T, precision=precision)
         sqd = xp2[:, None] + x2[None, :] - 2.0 * g
-    return jnp.maximum(sqd, 0.0)
+    # Straight-through clamp: the true sqd is ≥ 0, so mathematically
+    # the clamp is the identity — pass the exact polynomial's gradient
+    # through it.  A plain jnp.maximum halves derivatives at the
+    # sqd == 0 tie (lax.max's 0.5 tie rule), which corrupts the
+    # second input-derivatives the gradient-enhanced GP
+    # (models/derivative.py) takes at coincident points.
+    return sqd + jax.lax.stop_gradient(jnp.maximum(sqd, 0.0) - sqd)
 
 
 class Kernel:
@@ -854,6 +860,195 @@ class Separable(Kernel):
         jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(
             params
         )
+        return krn, jnp.moveaxis(jac, -1, 0)
+
+
+class ActiveDims(Kernel):
+    """Restrict a base kernel to a subset of input columns
+    (beyond-reference capability — the reference's kernels always see
+    every input dimension, ``covar.py:140``).
+
+    ``ActiveDims(k, dims)`` evaluates ``k`` on ``x[:, dims]`` only; its
+    parameter vector is the base kernel's vector for ``len(dims)``
+    inputs.  This is the building block for **additive GP structure**
+    (Duvenaud et al. 2011) over heterogeneous inputs::
+
+        ActiveDims(RBF(), (0,)) + ActiveDims(Matern(2.5), (1, 2))
+
+    and for products of per-group kernels (e.g. a periodic time axis
+    times an RBF over space).  Column selection is a static gather —
+    shapes stay static under jit, and the wrapper composes with every
+    fit/predict/MCMC/committee path unchanged (it is just a kernel).
+
+    Analytic gradients delegate to the base kernel's
+    ``matrix_and_grad`` on the sliced inputs (the chain rule through a
+    column selection is the identity on hyperparameters).
+    """
+
+    def __init__(self, base: Kernel, dims: Sequence[int]):
+        self.base = base
+        self.dims = tuple(int(d) for d in dims)
+        if len(set(self.dims)) != len(self.dims):
+            raise ValueError("ActiveDims dims must be unique")
+
+    def __hash__(self):
+        return hash((type(self), self.base, self.dims))
+
+    def __eq__(self, other):
+        return (
+            type(other) is ActiveDims
+            and other.base == self.base
+            and other.dims == self.dims
+        )
+
+    def _slice(self, x: Optional[Array]) -> Optional[Array]:
+        if x is None:
+            return None
+        return x[..., self.dims]
+
+    def n_params(self, dim: int) -> int:
+        return self.base.n_params(len(self.dims))
+
+    def init_params(self, x: Array, config: Config = DEFAULT) -> Array:
+        return self.base.init_params(self._slice(x), config)
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        return self.base.matrix(
+            params, self._slice(x), self._slice(xp), config=config
+        )
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        return self.base.diag(params, self._slice(x), config=config)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        return self.base.matrix_and_grad(
+            params, self._slice(x), config=config
+        )
+
+
+class ChangePoint(Kernel):
+    """Sigmoid changepoint between two kernels along one input axis
+    (beyond-reference capability; Lloyd et al. 2014, the "CP" operator
+    of the automatic statistician):
+
+        K(x, x') = s(x)·s(x')·K₁(x, x')
+                   + (1 − s(x))·(1 − s(x'))·K₂(x, x'),
+        s(x) = σ(a²·(x_axis − c))
+
+    — ``K₂`` governs the regime left of the changepoint location ``c``
+    along ``axis``, ``K₁`` the regime right of it, with a learned
+    transition sharpness ``a²`` (entering squared so the sign-invariant
+    house convention holds).  PSD by construction: each term is a PSD
+    kernel scaled by g(x)g(x').
+
+    Params ``[c, a, θ₁…, θ₂…]`` (nhp = 2 + nhp₁ + nhp₂), init:
+    ``c = 1``, ``a = 1``, sub-kernels at their own inits.  Under the
+    default log-space ``fit_mle`` the location stays positive — shift
+    the inputs so the candidate changepoint region is positive, or fit
+    with ``log_space=False`` for a signed location.  Both sub-kernels
+    see the **full** input vector (only the gate looks at ``axis``).
+
+    Gradients via forward-mode autodiff (FD-checked).
+    """
+
+    def __init__(self, k1: Kernel, k2: Kernel, axis: int = 0):
+        self.k1 = k1
+        self.k2 = k2
+        self.axis = int(axis)
+
+    def __hash__(self):
+        return hash((type(self), self.k1, self.k2, self.axis))
+
+    def __eq__(self, other):
+        return (
+            type(other) is ChangePoint
+            and other.k1 == self.k1
+            and other.k2 == self.k2
+            and other.axis == self.axis
+        )
+
+    def n_params(self, dim: int) -> int:
+        return 2 + self.k1.n_params(dim) + self.k2.n_params(dim)
+
+    def init_params(self, x: Array, config: Config = DEFAULT) -> Array:
+        batch = x.shape[:-2]
+        gate = jnp.ones(batch + (2,), dtype=x.dtype)
+        return jnp.concatenate(
+            [
+                gate,
+                self.k1.init_params(x, config),
+                self.k2.init_params(x, config),
+            ],
+            axis=-1,
+        )
+
+    def init_from_data(
+        self, x, n_restarts: int = 1, config: Config = DEFAULT
+    ):
+        """Host-side data-driven init (the changepoint likelihood is
+        multimodal — like :meth:`SpectralMixture.init_from_data`, the
+        protocol all-ones start is rarely in the right basin): gate
+        location at the median of the gate axis (``n_restarts > 1``:
+        at evenly spaced quantiles, stacked ``[R, nhp]`` — feed to
+        ``fit_mle``, which vmaps the restarts into one XLA program,
+        and keep the argmin-NLML row), sharpness ``a² = 4/range`` (the
+        transition spans ~a quarter of the data), and the sub-kernels
+        at their own inits."""
+        import numpy as np
+
+        xn = np.asarray(x)
+        col = xn[..., self.axis].ravel()
+        rng_ = max(float(col.max() - col.min()), 1e-6)
+        a = float(np.sqrt(4.0 / rng_))
+        sub = jnp.concatenate(
+            [
+                self.k1.init_params(jnp.asarray(x), config),
+                self.k2.init_params(jnp.asarray(x), config),
+            ],
+            axis=-1,
+        )
+        if n_restarts == 1:
+            qs = [0.5]
+        else:
+            qs = np.linspace(0.15, 0.85, n_restarts)
+        rows = []
+        for q in qs:
+            c = float(np.quantile(col, q))
+            gate = jnp.asarray([c, a], sub.dtype)
+            rows.append(jnp.concatenate([gate, sub], axis=-1))
+        return rows[0] if n_restarts == 1 else jnp.stack(rows)
+
+    def _gate(self, params, x):
+        c, a = params[0], params[1]
+        return jax.nn.sigmoid(jnp.square(a) * (x[..., self.axis] - c))
+
+    def _split(self, params, dim):
+        n1 = self.k1.n_params(dim)
+        return params[2 : 2 + n1], params[2 + n1 :]
+
+    def matrix(self, params, x, xp=None, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        p1, p2 = self._split(params, dim)
+        s_x = self._gate(params, x)                       # [n]
+        s_q = s_x if xp is None else self._gate(params, xp)  # [m]
+        k1 = self.k1.matrix(p1, x, xp, config=config)
+        k2 = self.k2.matrix(p2, x, xp, config=config)
+        return (
+            s_q[:, None] * s_x[None, :] * k1
+            + (1.0 - s_q)[:, None] * (1.0 - s_x)[None, :] * k2
+        )
+
+    def diag(self, params, x, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        p1, p2 = self._split(params, dim)
+        s = self._gate(params, x)
+        return jnp.square(s) * self.k1.diag(
+            p1, x, config=config
+        ) + jnp.square(1.0 - s) * self.k2.diag(p2, x, config=config)
+
+    def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
+        krn = self.matrix(params, x, config=config)
+        jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
         return krn, jnp.moveaxis(jac, -1, 0)
 
 
