@@ -93,6 +93,7 @@ from pygpr_tpu.models.multifidelity import MultiFidelityGP
 from pygpr_tpu.models.heteroscedastic import HeteroscedasticGP
 from pygpr_tpu.models.deepgp import DeepGP
 from pygpr_tpu.models.derivative import DerivativeGP
+from pygpr_tpu.models.gplvm import GPLVM
 from pygpr_tpu.models.svgp import SVGP
 from pygpr_tpu.models.obs import (
     BernoulliLogit,

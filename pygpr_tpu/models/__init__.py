@@ -43,6 +43,7 @@ from pygpr_tpu.models.kronecker import KroneckerGP
 from pygpr_tpu.models.warped import WarpedGP
 from pygpr_tpu.models.deepgp import DeepGP
 from pygpr_tpu.models.derivative import DerivativeGP
+from pygpr_tpu.models.gplvm import GPLVM
 from pygpr_tpu.models.iterative import IterativeGP
 from pygpr_tpu.models.ski import SKIGP
 from pygpr_tpu.models.means import (
