@@ -260,6 +260,19 @@ def fit(
         params0 = init_deep(
             kerns, lik, x, widths, m, seed=seed, config=config
         )
+    else:
+        # fail at the API boundary, not deep inside the scan trace: a
+        # params0 built with a different width schedule would silently
+        # misroute the skip means below
+        got = tuple(
+            lp.m_w.shape[0] for lp in params0.layers[:-1]
+        )
+        if len(params0.layers) > 1 and got != tuple(widths):
+            raise ValueError(
+                f"params0 hidden-layer widths {got} do not match "
+                f"widths={tuple(widths)}; pass the widths the params "
+                "were initialized with"
+            )
     means = skip_means(widths, x.shape[-1], np.asarray(x).dtype)
     sched = jnp.asarray(make_batches(n, nb, n_steps, seed))
     w_hid = int(sum(widths)) if len(kerns) > 1 else 1

@@ -40,7 +40,7 @@ Layout: joint vector = ``[f(xâ‚..x_n), âˆ‚â‚f(xgâ‚), â€¦, âˆ‚_df(xgâ‚), âˆ‚â
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,17 +53,29 @@ Array = jax.Array
 
 
 def _check_noise_free(kern: Kernel):
+    """Reject WhiteNoise anywhere in the kernel tree.
+
+    A WhiteNoise embedded at ANY depth (inside Sum/Product/ActiveDims/
+    ChangePoint) would land on the value-value block only â€” the
+    derivative blocks go through the autodiff cross path where
+    WhiteNoise is identically zero â€” silently producing a model that
+    is neither the noise-free kernel nor the per-channel noise model.
+    """
     if isinstance(kern, WhiteNoise):
         raise ValueError(
             "derivative GP takes a noise-free base kernel; noise is "
-            "per-channel (sigma_f, sigma_g)"
+            "per-channel (sigma_f, sigma_g) â€” remove WhiteNoise "
+            "(found embedded in the kernel tree)"
         )
-    if isinstance(kern, Sum) and any(
-        isinstance(k, WhiteNoise) for k in kern.kernels
+    for child in (
+        getattr(kern, "kernels", ())  # Sum / Product
+        or ()
     ):
-        raise ValueError(
-            "remove WhiteNoise from the kernel; use sigma_f/sigma_g"
-        )
+        _check_noise_free(child)
+    for attr in ("base", "k1", "k2"):  # ActiveDims / ChangePoint
+        child = getattr(kern, attr, None)
+        if isinstance(child, Kernel):
+            _check_noise_free(child)
 
 
 def _scalar_k(kern: Kernel, params, config):
@@ -222,7 +234,7 @@ def predict(
     *,
     grad_out: bool = False,
     config: Config = DEFAULT,
-) -> Tuple[Array, Array]:
+) -> Union[Tuple[Array, Array], Tuple[Array, Array, Array]]:
     """Posterior (mean, diag variance) of f at xq; with
     ``grad_out=True`` returns the posterior mean of âˆ‡f at xq as well:
     ``(mean, var, grad_mean)``."""

@@ -1012,10 +1012,25 @@ class ChangePoint(Kernel):
         else:
             qs = np.linspace(0.15, 0.85, n_restarts)
         rows = []
+        bad_c = []
         for q in qs:
             c = float(np.quantile(col, q))
+            if c <= 0.0:
+                bad_c.append(c)
             gate = jnp.asarray([c, a], sub.dtype)
             rows.append(jnp.concatenate([gate, sub], axis=-1))
+        if bad_c:
+            import warnings
+
+            warnings.warn(
+                "ChangePoint.init_from_data: gate location(s) "
+                f"{bad_c} are <= 0 because the gate-axis data spans "
+                "non-positive values; the default log-space fit_mle "
+                "would take log of a non-positive number (NaN / "
+                "sign-flipped location).  Shift the inputs to be "
+                "positive or fit with log_space=False.",
+                stacklevel=2,
+            )
         return rows[0] if n_restarts == 1 else jnp.stack(rows)
 
     def _gate(self, params, x):
