@@ -261,8 +261,9 @@ def dist_cholesky_laddered(
     *,
     axis: str = EXPERT_AXIS,
     config: Config = DEFAULT,
+    factor_fn=None,
 ) -> Array:
-    """:func:`dist_cholesky` under the escalating jitter ladder.
+    """Distributed Cholesky under the escalating jitter ladder.
 
     ``gram`` already carries the base jitter; on a non-finite factor the
     whole distributed factorization retries with an extra
@@ -270,16 +271,23 @@ def dist_cholesky_laddered(
     ``jitter·10^k``, matching ``ops.linalg.safe_cholesky``).  The
     escalation adds the scalar to each shard's local diagonal — no
     replicated identity.
+
+    ``factor_fn`` selects the schedule (default: the 1-D block-row
+    :func:`dist_cholesky`; pass a closure over
+    :func:`pygpr_tpu.parallel.dist_cyclic.dist_cholesky_cyclic` for the
+    block-cyclic one — the scalar diagonal escalation is
+    layout-invariant, so the ladder works unchanged for both).
     """
     dtype = gram.dtype
     base = jnp.asarray(config.jitter, dtype)
+    if factor_fn is None:
+        factor_fn = lambda g: dist_cholesky(  # noqa: E731
+            g, mesh, axis=axis, config=config
+        )
 
     def attempt(k):
         extra = base * ((10.0**k).astype(dtype) - 1.0)
-        L = dist_cholesky(
-            _dist_add_diag(gram, extra, mesh, axis),
-            mesh, axis=axis, config=config,
-        )
+        L = factor_fn(_dist_add_diag(gram, extra, mesh, axis))
         return L, jnp.all(jnp.isfinite(L))
 
     L0, ok0 = attempt(jnp.asarray(0, dtype))
@@ -371,15 +379,72 @@ def dist_cholesky_solve_cols(
     return fn(L_sharded)
 
 
-def _dist_nlml_value(kern, params, x, y, mesh, axis, config):
+def _auto_cyclic_m(n: int, D: int, m_max: int = 4) -> int:
+    """Largest power-of-two m ≤ m_max with n divisible by D·m."""
+    m = 1
+    while m * 2 <= m_max and n % (D * m * 2) == 0:
+        m *= 2
+    return m
+
+
+def _factor_natural(kern, params, x, mesh, axis, config, schedule, m):
+    """Row-sharded gram build + laddered factorization, returning the
+    factor in NATURAL block-row order whichever schedule ran.
+
+    ``schedule="cyclic"`` builds the gram directly in cyclic storage
+    order (rows are just kernel evaluations against the permuted
+    inputs — a permutation maps diagonal to diagonal, so the
+    jitter/ladder diagonals are untouched), factorizes with the
+    block-cyclic schedule (executed work ≈ 0.8·n³ vs the 1-D
+    schedule's ~2n³, measured in docs/scaling.md), then permutes the
+    factor back to natural order — an O(n²) reshuffle, the same order
+    as the panel all-gathers the factorization itself already does —
+    so the proven distributed solves and the analytic gradient run
+    unchanged downstream.
+    """
+    if schedule == "cyclic":
+        import numpy as np
+
+        from pygpr_tpu.parallel import dist_cyclic
+
+        D = mesh.shape[axis]
+        n = x.shape[0]
+        if m is None:
+            m = _auto_cyclic_m(n, D)
+        perm = dist_cyclic.cyclic_permutation(n, D, m)
+        x_cyc = jnp.asarray(x)[jnp.asarray(perm)]
+        gram = dist_gram(
+            kern, params, x_cyc, mesh, axis=axis, config=config
+        )
+        L_cyc = dist_cholesky_laddered(
+            gram, mesh, axis=axis, config=config,
+            factor_fn=lambda g: dist_cyclic.dist_cholesky_cyclic(
+                g, mesh, axis=axis, m=m, config=config
+            ),
+        )
+        inv = jnp.asarray(np.argsort(perm))
+        L = L_cyc[inv][:, inv]
+        sh = jax.sharding.NamedSharding(mesh, P(axis))
+        if isinstance(L, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(L, sh)
+        return jax.device_put(L, sh)
+    gram = dist_gram(kern, params, x, mesh, axis=axis, config=config)
+    return dist_cholesky_laddered(gram, mesh, axis=axis, config=config)
+
+
+def _dist_nlml_value(
+    kern, params, x, y, mesh, axis, config,
+    schedule="block_row", m=None,
+):
     import math
 
     D = mesh.shape[axis]
     n = x.shape[0]
     B = n // D
 
-    gram = dist_gram(kern, params, x, mesh, axis=axis, config=config)
-    L = dist_cholesky_laddered(gram, mesh, axis=axis, config=config)
+    L = _factor_natural(
+        kern, params, x, mesh, axis, config, schedule, m
+    )
     w = dist_cholesky_solve(L, y, mesh, axis=axis, config=config)
 
     def logdiag_fn(Lloc):
@@ -467,6 +532,8 @@ def dist_nlml(
     *,
     axis: str = EXPERT_AXIS,
     config: Config = DEFAULT,
+    schedule: str = "cyclic",
+    m: int = None,
 ) -> Array:
     """NLML of one large expert with the gram build AND factorization
     distributed over ``axis`` (the "model-parallel" GP path): reference
@@ -478,15 +545,26 @@ def dist_nlml(
     see through the laddered ``while_loop``, and the analytic form keeps
     every per-device buffer at [n, B].  The chosen jitter rung is
     treated as locally constant, matching ``ops.linalg.safe_cholesky``.
+
+    ``schedule`` picks the factorization schedule: ``"cyclic"``
+    (default — the block-cyclic recursion of
+    ``parallel/dist_cyclic.py``, measured ~1.7× faster than the 1-D
+    schedule at n=1024/D=8, docs/scaling.md) or ``"block_row"`` (the
+    simpler 1-D fan-out).  ``m`` is the cyclic blocks-per-device
+    (power of two; ``None`` = largest ≤ 4 dividing n/D).
     """
 
     @jax.custom_vjp
     def f(p):
-        value, _, _ = _dist_nlml_value(kern, p, x, y, mesh, axis, config)
+        value, _, _ = _dist_nlml_value(
+            kern, p, x, y, mesh, axis, config, schedule, m
+        )
         return value
 
     def f_fwd(p):
-        value, L, w = _dist_nlml_value(kern, p, x, y, mesh, axis, config)
+        value, L, w = _dist_nlml_value(
+            kern, p, x, y, mesh, axis, config, schedule, m
+        )
         return value, (p, L, w)
 
     def f_bwd(res, g):

@@ -361,19 +361,29 @@ def mcmc_sharded(
     *,
     n_chains: int,
     coordinate_step_size: bool = True,
+    sampler: str = "rwm",
     **mcmc_kwargs,
 ):
     """MCMC chains sharded over the ``"chain"`` mesh axis, with the
     step-size adaptation statistic ``pmean``-ed across all chains
     (north-star "step-size adaptation coordinated across hosts").
 
+    ``sampler`` selects the kernel: ``"rwm"`` (adaptive random-walk /
+    HMC, ``sample.mcmc.sample_posterior`` — returns ``MCMCResult``) or
+    ``"nuts"`` (iterative multinomial NUTS with dual averaging,
+    ``sample.nuts.sample_posterior_nuts`` — returns ``NUTSResult``);
+    either way the dual-averaging/adaptation statistic rides the same
+    ``pmean`` hook, so every shard converges to one shared step size.
+
     ``n_chains`` must be a multiple of the mesh's chain-axis size.
-    Returns an ``MCMCResult`` with leading dim ``n_chains``.
+    Result leaves carry leading dim ``n_chains``.
     """
     from pygpr_tpu.sample.mcmc import sample_posterior
+    from pygpr_tpu.sample.nuts import sample_posterior_nuts
 
     n_shards = mesh.shape[CHAIN_AXIS]
     assert n_chains % n_shards == 0
+    assert sampler in ("rwm", "nuts"), sampler
 
     def local_fn(key):
         # Each shard runs n_chains // n_shards chains; the sync_fn
@@ -384,7 +394,10 @@ def mcmc_sharded(
             if coordinate_step_size
             else (lambda s: s)
         )
-        return sample_posterior(
+        run = sample_posterior if sampler == "rwm" else (
+            sample_posterior_nuts
+        )
+        return run(
             kern, x, y, key[0],
             n_chains=n_chains // n_shards,
             sync_fn=sync,

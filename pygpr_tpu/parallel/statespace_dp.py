@@ -20,7 +20,12 @@ state — the predecessor's last (m, P) — which is exactly the block's
 offset applied to the stationary prior, so no extra exchange.
 
 Wire cost is independent of n: weak scaling in the chain length is
-structural.  Exactness: ``nlml_ss_dp`` == single-device
+structural — and ASSERTED, not just claimed: the compiled-HLO
+collective bytes are identical at n=1024 and n=4096
+(``tests/test_comm_volume.py::test_statespace_dp_comm_volume_independent_of_n``;
+the transitions are built per-shard from the local Δt slice and t is
+pinned replicated, because either one left to GSPMD materializes an
+O(n) all-gather).  Exactness: ``nlml_ss_dp`` == single-device
 ``models.statespace.nlml_ss`` to f64 round-off (tested on the 8-device
 CPU mesh).  Gradients flow through both shard_maps UNDER JIT (the
 eager shard_map transpose currently trips an XLA sharding assert;
@@ -43,7 +48,6 @@ from pygpr_tpu.models.statespace import (
     _filter_combine,
     _filter_elements,
     _filter_identity,
-    _prep,
     _t,
 )
 from pygpr_tpu.parallel.mesh import EXPERT_AXIS
@@ -73,31 +77,62 @@ def nlml_ss_dp(
     assert n % ndev == 0, (n, ndev)
     dtype = y.dtype
 
-    a_s, q_s, p_inf, r_var = _prep(nu, params, t, y, config)
+    from pygpr_tpu.models.statespace import _ssm_constants, _transitions
+
+    sig, ls, sn = params[0], params[1], params[2]
+    lam, p_inf = _ssm_constants(nu, sig, ls, dtype)
+    r_var = jnp.square(sn)
     d = p_inf.shape[0]
+    # Δt carries the only cross-step coupling; computed globally (one
+    # elementwise diff), everything Δt-derived is built INSIDE the
+    # shard.  Pin t replicated: left alone, GSPMD shards the diff and
+    # then ALL-GATHERS t to stitch the boundaries — an O(n) exchange
+    # (caught by test_comm_volume.py); replicated, the diff is
+    # compute-local and the shard_map just slices its block.
+    sh_rep = jax.sharding.NamedSharding(mesh, P())
+    if isinstance(t, jax.core.Tracer):
+        t = jax.lax.with_sharding_constraint(t, sh_rep)
+    dt = jnp.diff(t, prepend=t[:1])                   # dt[0] = 0
+    if isinstance(dt, jax.core.Tracer):
+        dt = jax.lax.with_sharding_constraint(dt, sh_rep)
 
     # ---- stage 1 (shard_map): local scans, zero communication ------
-    def local_scan(a_loc, q_loc, y_loc):
+    # Transitions (A, Q) are built per-shard from the local Δt slice —
+    # building the [d,d,n] stacks outside and sharding them afterwards
+    # made GSPMD materialize O(n) exchanges.  The block aggregate (each
+    # device's LAST prefix element) is likewise extracted inside the
+    # shard so the only cross-device tuple is [d,?,1] per device (both
+    # caught by test_comm_volume.py).
+    def local_scan(dt_loc, y_loc):
         nloc = y_loc.shape[0]
         mask = jnp.ones((nloc,), dtype)
+        a_loc, q_loc = _transitions(nu, lam, p_inf, dt_loc)
+        # global step 0 folds the stationary prior: A₀ ← 0, Q₀ ← P∞
+        # (statespace._prep) — only the first device's first column
+        first = jax.lax.axis_index(axis) == 0
+        a_loc = a_loc.at[:, :, 0].set(
+            jnp.where(first, jnp.zeros((d, d), dtype), a_loc[:, :, 0])
+        )
+        q_loc = q_loc.at[:, :, 0].set(
+            jnp.where(first, p_inf, q_loc[:, :, 0])
+        )
         elems = _filter_elements(a_loc, q_loc, y_loc, r_var, mask)
-        return jax.lax.associative_scan(
+        pre = jax.lax.associative_scan(
             _filter_combine, elems, axis=2
         )
+        agg = jax.tree.map(lambda x: x[..., -1:], pre)
+        return pre, agg, a_loc, q_loc
 
     spec_m = P(None, None, axis)
-    prefix = shard_map(
+    prefix, agg, a_s, q_s = shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(spec_m, spec_m, P(axis)),
-        out_specs=(spec_m,) * 5,
-    )(a_s, q_s, y)
+        in_specs=(P(axis), P(axis)),
+        out_specs=((spec_m,) * 5, (spec_m,) * 5, spec_m, spec_m),
+    )(dt, y)
 
     # ---- block aggregates → per-block offsets (tiny, replicated) ---
-    nloc = n // ndev
-    agg = jax.tree.map(
-        lambda x: x[..., nloc - 1 :: nloc], prefix
-    )                                              # leaves [d,?,ndev]
+    nloc = n // ndev                               # agg leaves [d,?,ndev]
     offs = [_filter_identity(d, 1, dtype)]         # block 0: identity
     for k in range(ndev - 1):
         offs.append(_filter_combine(

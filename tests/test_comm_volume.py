@@ -131,6 +131,104 @@ def test_shared_fit_comm_volume_independent_of_n(rng):
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh"
 )
+def test_cyclic_cholesky_comm_volume_quadratic_not_cubic(rng):
+    """Model-parallel axis: the block-cyclic factorization's collective
+    bytes grow O(n²·log m) — doubling n must ~4× the wire volume, NOT
+    the 8× an accidental per-panel full-operand gather (O(n³/D)) would
+    show."""
+    from pygpr_tpu.parallel.dist_cyclic import (
+        dist_cholesky_cyclic, to_cyclic,
+    )
+
+    mesh = make_mesh(n_expert=8)
+
+    def hlo(n):
+        A = rng.normal(size=(n, n))
+        K = jnp.asarray(A @ A.T + n * np.eye(n))
+        Kc = to_cyclic(K, 8, 4)
+        f = jax.jit(lambda a: dist_cholesky_cyclic(a, mesh, m=4))
+        return f.lower(Kc).compile().as_text()
+
+    b128 = _collective_bytes(hlo(128))
+    b256 = _collective_bytes(hlo(256))
+    assert b128 > 0
+    ratio = b256 / b128
+    assert ratio < 5.5, (b128, b256, ratio)   # quadratic ≈ 4, cubic = 8
+    # absolute bound: a few multiples of the n² matrix footprint
+    # (panel gathers at each of the log2(2m)+1 levels), nowhere near
+    # the D·n²-per-panel of a gather-everything schedule
+    assert b256 < 10 * 256 * 256 * 8, b256
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh"
+)
+def test_statespace_dp_comm_volume_independent_of_n(rng):
+    """Temporal-parallel axis: the two-level scan's only cross-device
+    traffic is the O(ndev·d²) block-aggregate exchange — the compiled
+    collective bytes must be IDENTICAL at n=1024 and n=4096 (the
+    docstring claim in parallel/statespace_dp.py, now asserted)."""
+    from pygpr_tpu.parallel.statespace_dp import nlml_ss_dp
+
+    mesh = make_mesh(n_expert=8)
+
+    def hlo(n):
+        t = jnp.asarray(np.sort(rng.uniform(0, 100, n)))
+        y = jnp.sin(t)
+        p = jnp.asarray([1.0, 1.0, 0.1], t.dtype)
+        f = jax.jit(
+            lambda p_, t_, y_: nlml_ss_dp(1.5, p_, t_, y_, mesh)
+        )
+        return f.lower(p, t, y).compile().as_text()
+
+    b1k = _collective_bytes(hlo(1024))
+    b4k = _collective_bytes(hlo(4096))
+    assert b1k > 0, "the aggregate exchange must actually communicate"
+    assert b1k == b4k, (b1k, b4k)
+    # absolute bound: ndev blocks × the (A,b,C,η,J) tuple (d² floats
+    # each) plus the scalar NLML psum — kilobytes, never O(n)
+    assert b1k < 64 * 1024, b1k
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh"
+)
+def test_iterative_dp_comm_volume_linear_in_n(rng):
+    """Row-parallel Krylov axis: per CG/Lanczos iteration the wire
+    carries the O(n·k) Krylov vectors (all_gather) — never an O(n²)
+    operand.  Doubling n must ~double the collective bytes."""
+    from pygpr_tpu.models import iterative
+    from pygpr_tpu.parallel.iterative_dp import nlml_value_and_grad_dp
+
+    mesh = make_mesh(n_expert=8)
+    cov = gp.RBF()
+
+    def hlo(n):
+        x = jnp.asarray(rng.uniform(0, 4, (n, 2)))
+        y = jnp.sin(x.sum(-1))
+        probes = jnp.asarray(iterative.make_probes(n, 4, 0), x.dtype)
+        p = jnp.asarray([1.0, 1.0, 1.0, 0.1], x.dtype)
+        f = jax.jit(
+            lambda p_, x_, y_, z_: nlml_value_and_grad_dp(
+                cov, p_, x_, y_, z_, mesh,
+                rank=8, num_lanczos=4, max_cg=8, block=64,
+            )
+        )
+        return f.lower(p, x, y, probes).compile().as_text()
+
+    b512 = _collective_bytes(hlo(512))
+    b1k = _collective_bytes(hlo(1024))
+    assert b512 > 0
+    ratio = b1k / b512
+    assert 1.2 < ratio < 3.0, (b512, b1k, ratio)
+    # an accidental all-gather of even ONE [n, n] operand would add
+    # n²·8 bytes = 8 MB at n=1024 — require an order less
+    assert b1k < 1024 * 1024 * 8 / 10, b1k
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh"
+)
 def test_predict_comm_volume_scales_with_queries_not_n(rng):
     """Prediction psums move O(n_query) bytes — independent of the
     expert training size, linear in the query batch."""
