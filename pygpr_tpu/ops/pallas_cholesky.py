@@ -42,12 +42,15 @@ B = 128  # panel width (MXU-aligned)
 MAX_FUSED_N = 5632
 
 
-def _micro_cholesky(tile: Array) -> Array:
+def _micro_cholesky_masked(tile: Array) -> Array:
     """Cholesky of one [B, B] block (lower), masked column loop.
 
-    Mosaic has no value-level dynamic_slice, so column extraction and
-    write-back are masked whole-tile VPU ops — the B-step pivot chain
-    is the irreducible sequential core of the factorization.
+    The original formulation: every pivot step runs ~6 full-tile
+    [B, B] VPU ops (16 passes each) plus two cross-lane reductions —
+    measured ~34 µs per block on v5e (``bench/mfu_probe.py``), which
+    made the pivot chain ~45% of the whole fused kernel.  Kept as the
+    interpret-mode/correctness oracle; the hot path is
+    :func:`_micro_cholesky` below.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
@@ -66,6 +69,86 @@ def _micro_cholesky(tile: Array) -> Array:
 
     D = jax.lax.fori_loop(0, B, body, tile)
     return jnp.where(rows >= cols, D, 0.0)
+
+
+_MINI = 8  # mini-panel width (one f32 sublane group)
+
+
+def _micro_cholesky(tile: Array) -> Array:
+    """Cholesky of one SYMMETRIC [B, B] block (returns lower L) via
+    static 8-wide mini-panels on the *transposed* factor.
+
+    The input block is symmetric (every call site passes a
+    trailing-updated diagonal block of an SPD matrix), so the
+    algorithm can factor ``U = Lᵀ`` row-wise without ever transposing
+    the input: row j of U is column j of L, an [1, B] lane vector —
+    every pivot step touches only [1, B]/[8, B] strips (single-VPU-pass
+    ops + static slices) instead of full-tile masked ops, and the
+    trailing update beyond the mini-panel collapses into ONE rank-8
+    MXU matmul (UᵀU restricted) per 8 pivots.  ~6× less VPU work than
+    :func:`_micro_cholesky_masked`; bitwise-comparable numerics
+    (same operation order per pivot, FD-tested in tests/test_pallas).
+
+    Indefinite pivots produce NaNs that propagate — the jitter-ladder
+    failure signal — exactly as before.
+    """
+    dtype = tile.dtype
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (_MINI, B), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (_MINI, B), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    rowsB = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+
+    U = tile  # symmetric: tileᵀ == tile
+    for g in range(B // _MINI):
+        c0 = g * _MINI
+        S = U[c0 : c0 + _MINI, :]                        # [8, B] strip
+        # one-hot selector: P[a, i] = (i == c0 + a) — turns "extract
+        # 8 named lanes of a row into sublanes" into one MXU matvec
+        Psel = (lane8 == (sub8 + c0)).astype(dtype)
+
+        for jj in range(_MINI):
+            j = c0 + jj
+            row = S[jj : jj + 1, :]                      # [1, B]
+            d = jnp.sqrt(row[:, j : j + 1])              # [1, 1] static
+            newrow = jnp.where(
+                lane1 == j,
+                d,
+                jnp.where(lane1 > j, row / d, jnp.zeros_like(row)),
+            )
+            S = jnp.where(sub8 == jj, newrow, S)
+            if jj + 1 < _MINI:
+                # strip-internal rank-1 update: rows jj+1.. of the
+                # strip lose coef[a]·newrow, coef[a] = newrow[c0+a]
+                coef = jax.lax.dot_general(
+                    Psel, newrow,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                        # [8, 1]
+                S = S - jnp.where(
+                    sub8 > jj, coef * newrow, jnp.zeros_like(S)
+                )
+
+        U = jnp.where(
+            (rowsB >= c0) & (rowsB < c0 + _MINI),
+            jnp.pad(S, ((c0, B - c0 - _MINI), (0, 0))),
+            U,
+        )
+        if c0 + _MINI < B:
+            # rank-8 trailing update of the remaining rows of U:
+            # U[a, i] -= Σⱼ L[i, c0+j]·L[a, c0+j] = (SᵀS)[a, i]
+            M = jax.lax.dot_general(
+                S, S,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                            # [B, B]
+            U = U - jnp.where(
+                rowsB >= c0 + _MINI, M, jnp.zeros_like(U)
+            )
+
+    # U holds Lᵀ (strictly-lower lanes already zeroed row-by-row)
+    return U.T
 
 
 def _tri_inverse(L: Array) -> Array:
