@@ -502,6 +502,95 @@ def bench_iterative_large_n(
     }
 
 
+def bench_statespace_large(
+    n: int = 1_000_000,
+    nu: float = 1.5,
+    nq: int = 4096,
+    reps: int = 3,
+    seed: int = 3,
+) -> dict:
+    """Exact 1-D Matérn-3/2 GP at n=10⁶ on ONE chip via the
+    state-space parallel-scan path (``models/statespace``).
+
+    Two timings (the README perf-table row cites this command:
+    ``python -m pygpr_tpu.bench --statespace`` /
+    ``python bench.py --stage statespace``):
+
+      * NLML value+grad seconds/eval — AD through the associative
+        filter scan, O(n) work / O(log n) depth.  The reference dense
+        pipeline at n=10⁶ needs an 8 TB gram; it cannot run at all.
+      * smoothed posterior at ``nq`` query times — the committed
+        two-program host path (``_posterior_stage_a/_b``; fusing the
+        two scans into one XLA program makes the TPU compile linear
+        in n, see the module docstring).
+    """
+    import time
+
+    from pygpr_tpu.models import statespace
+
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0.0, 2000.0, n)).astype(np.float32)
+    y = (np.sin(0.3 * t) + 0.1 * rng.normal(size=n)).astype(np.float32)
+    t_j, y_j = jnp.asarray(t), jnp.asarray(y)
+    p0 = jnp.asarray([1.0, 1.0, 0.1], jnp.float32)
+
+    # chained value+grad steps (see bench.py's timing methodology:
+    # over the remote tunnel only a host fetch is a true sync, so the
+    # carried parameter serializes the reps and one fetch covers all)
+    def step(p, tt, yy):
+        v, g = jax.value_and_grad(
+            lambda q: statespace.nlml_ss(nu, q, tt, yy)
+        )(p)
+        return p + 0.0 * g + 0.0 * v
+
+    stepj = jax.jit(step)
+    v0 = float(
+        jax.value_and_grad(
+            lambda q: statespace.nlml_ss(nu, q, t_j, y_j)
+        )(p0)[0]
+    )  # compile of the vg program + reference value
+    float(stepj(p0, t_j, y_j)[0])  # compile + warm the chained step
+    t0 = time.perf_counter()
+    p = p0
+    for _ in range(reps):
+        p = stepj(p, t_j, y_j)
+    pv = float(p[0])
+    eval_s = (time.perf_counter() - t0) / reps
+    assert np.isfinite(pv), "non-finite state-space NLML/grad"
+
+    # smoothed posterior: two-program host path, timed end-to-end
+    # (includes the host-side query merge — that IS the committed path)
+    tq = np.linspace(0.0, 2000.0, nq).astype(np.float32)
+    tq_j = jnp.asarray(tq)
+    mq, vq = statespace.posterior_ss(nu, p0, t_j, y_j, tq_j)
+    mq_h = np.asarray(mq)  # compile both stages + sync
+    t0 = time.perf_counter()
+    mq, vq = statespace.posterior_ss(nu, p0, t_j, y_j, tq_j)
+    mq_h, vq_h = np.asarray(mq), np.asarray(vq)
+    post_s = time.perf_counter() - t0
+    assert np.isfinite(mq_h).all() and (vq_h > 0).all()
+    rmse = float(np.sqrt(np.mean((mq_h - np.sin(0.3 * tq)) ** 2)))
+
+    return {
+        "metric": "statespace_exact_nlml_grad_n1e6_single_chip",
+        "value": round(1.0 / eval_s, 3),
+        "unit": "evals/s",
+        "n_total": n,
+        "nu": nu,
+        "nlml_seconds_per_eval": round(eval_s, 3),
+        "nlml_at_init": round(v0, 1),
+        "posterior_nq": nq,
+        "posterior_seconds": round(post_s, 3),
+        "posterior_rmse_vs_true": round(rmse, 4),
+        "vs_baseline": None,
+        "baseline": (
+            "reference dense pipeline cannot run at n=1e6 (8 TB "
+            "gram); this is the EXACT Matern NLML+grad via the "
+            "O(n) associative-scan state-space form"
+        ),
+    }
+
+
 def bench_sgpr_large_n(
     n: int = 98304,
     m: int = 1024,

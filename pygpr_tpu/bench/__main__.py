@@ -11,6 +11,10 @@
   --sgpr        SGPR (Titsias) at N≈100k, m=1024 inducing points, one
                 chip — directly comparable to the --large-n grBCM row
                 (same generative function, N, and query set).
+  --statespace  exact Matérn-3/2 GP at n=1M via the state-space
+                parallel-scan path: NLML value+grad s/eval and the
+                two-program smoothed posterior at 4096 query times,
+                one JSON line.
   --million     BASELINE config 5 correctness artifact: grBCM N=1M,
                 experts sharded over the device mesh.  Run on CPU with
                 8 virtual devices via
@@ -62,6 +66,10 @@ def _main():
         from pygpr_tpu.bench import bench_iterative_large_n
 
         print(json.dumps(bench_iterative_large_n()), flush=True)
+    elif "--statespace" in args:
+        from pygpr_tpu.bench import bench_statespace_large
+
+        print(json.dumps(bench_statespace_large()), flush=True)
     else:
         from pygpr_tpu.bench import main
 
