@@ -73,6 +73,10 @@ def _emit(**rec):
 
 
 def probe(n: int = 2048, reps: int = 20):
+    # sub-ms stages need high rep counts: the tunnel's scalar-fetch
+    # latency varies by ~±10 ms between rounds, so a 20-rep chain of a
+    # 0.3 ms stage measures noise (even negative after subtraction)
+    reps_cheap = max(reps, 120)
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -106,7 +110,9 @@ def probe(n: int = 2048, reps: int = 20):
             v, g = gp.nlml_value_and_grad(cov, p, x, y, cfg)
             return p + 0.0 * g + 0.0 * v
 
-        t = _chained_seconds(jax.jit(step), p0, reps)
+        t = _chained_seconds(
+            jax.jit(step), p0, reps_cheap if n <= 2048 else reps
+        )
         fl = (4.0 / 3.0) * n**3
         _emit(
             probe=f"full_fast_vg_{'pallas' if use_pallas else 'xla'}",
@@ -119,7 +125,7 @@ def probe(n: int = 2048, reps: int = 20):
         L, T = cholesky_inverse_pallas(M)
         return M + 0.0 * L[0, 0] + 0.0 * T[0, 0]
 
-    t_ci = _chained_seconds(jax.jit(chol_inv_step), K, reps)
+    t_ci = _chained_seconds(jax.jit(chol_inv_step), K, reps_cheap if n <= 2048 else reps)
     _emit(
         probe="fused_chol_inverse_pallas", n=n,
         ms=round(1e3 * t_ci, 3),
@@ -131,7 +137,7 @@ def probe(n: int = 2048, reps: int = 20):
         L = jax.lax.linalg.cholesky(M)
         return M + 0.0 * L[0, 0]
 
-    t_xc = _chained_seconds(jax.jit(xla_chol_step), K, reps)
+    t_xc = _chained_seconds(jax.jit(xla_chol_step), K, reps_cheap if n <= 2048 else reps)
     _emit(
         probe="xla_cholesky", n=n, ms=round(1e3 * t_xc, 3),
         tflops_at_n3_over_3=round(n**3 / 3.0 / t_xc / 1e12, 2),
@@ -163,7 +169,7 @@ def probe(n: int = 2048, reps: int = 20):
         out = pivots_call(S)
         return S + 0.0 * out[0, 0]
 
-    t_pv = _chained_seconds(jax.jit(pivots_step), diag_strip, reps)
+    t_pv = _chained_seconds(jax.jit(pivots_step), diag_strip, reps_cheap)
     _emit(
         probe="pivot_chain_only", n=n, panels=P,
         ms=round(1e3 * t_pv, 3),
@@ -197,7 +203,7 @@ def probe(n: int = 2048, reps: int = 20):
         out = tinv_call(S)
         return S + 0.0 * out[0, 0]
 
-    t_ti = _chained_seconds(jax.jit(tinv_step), tril_strip, reps)
+    t_ti = _chained_seconds(jax.jit(tinv_step), tril_strip, reps_cheap)
     _emit(
         probe="block_tri_inverse_only", n=n, panels=P,
         ms=round(1e3 * t_ti, 3),
@@ -210,7 +216,7 @@ def probe(n: int = 2048, reps: int = 20):
         S = linalg.syrk_from_tril(Tm)
         return Tm + 0.0 * S[0, 0]
 
-    t_sy = _chained_seconds(jax.jit(syrk_step), T0, reps)
+    t_sy = _chained_seconds(jax.jit(syrk_step), T0, reps_cheap)
     _emit(
         probe="syrk_from_tril", n=n, ms=round(1e3 * t_sy, 3),
         tflops_at_2o3_n3=round((2.0 / 3.0) * n**3 / t_sy / 1e12, 2),
@@ -223,7 +229,7 @@ def probe(n: int = 2048, reps: int = 20):
         G = cov.matrix(p, x, config=cfg_p)
         return p + 0.0 * G[0, 0]
 
-    t_gr = _chained_seconds(jax.jit(gram_step), p0, reps)
+    t_gr = _chained_seconds(jax.jit(gram_step), p0, reps_cheap)
     _emit(probe="gram_build", n=n, ms=round(1e3 * t_gr, 3))
 
     # --- residual attribution ---------------------------------------

@@ -36,9 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 B = 128  # panel width (MXU-aligned)
+CW = 512  # left-looking stream chunk width (contraction depth per GEMM)
 
-# largest single matrix the fused chol+inverse kernel accepts: its five
-# n·B f32 VMEM panels must fit the ~16 MB/core budget with headroom
+# largest single matrix the fused chol+inverse kernel accepts.  The
+# VMEM working set (~(4·B + 2·CW)·n·4 bytes + Mosaic stack) fits the
+# raised 100 MiB scoped budget well past this, but the 64-panel
+# statically-unrolled pipeline at n=8192 took Mosaic >25 min to
+# compile (vs ~2 min at 4096) — n>5632 routes to the XLA
+# chol + block-doubling-inverse path instead.
 MAX_FUSED_N = 5632
 
 
@@ -151,6 +156,69 @@ def _micro_cholesky(tile: Array) -> Array:
     return U.T
 
 
+def _micro_cholesky_scratch(mblk):
+    """Ref-backed mini-panel micro-Cholesky (same math as
+    :func:`_micro_cholesky`) for use INSIDE kernels: factors the
+    symmetric [B, B] block the caller has ALREADY STORED in the
+    dedicated VMEM scratch ``mblk``, leaving ``U = Lᵀ`` there (the
+    caller transposes the value when copying back out).
+
+    Two reasons this is a scratch ref and not a value or an in-place
+    window of the data buffer:
+
+      * Carrying the factor through ref stores instead of one SSA
+        value matters — Mosaic allocates scoped-vmem stack for every
+        live temporary of the 16-way unrolled value version (~7 MB),
+        which pushed the fused n=4096 kernel past the 16 MB scoped
+        limit.
+      * A DEDICATED scratch keeps every store/load pair here on
+        disjoint row ranges.  Updating a window of the caller's data
+        buffer in place (including a final self-overlapping transpose
+        store) hit a store/load reordering bug in Pallas interpret
+        mode under an outer jit — silently wrong factors, data- and
+        context-dependent.
+    """
+    dtype = jnp.float32
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (_MINI, B), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (_MINI, B), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    for g in range(B // _MINI):
+        c0 = g * _MINI
+        S = mblk[c0 : c0 + _MINI, :]
+        Psel = (lane8 == (sub8 + c0)).astype(dtype)
+        for jj in range(_MINI):
+            j = c0 + jj
+            row = S[jj : jj + 1, :]
+            d = jnp.sqrt(row[:, j : j + 1])
+            newrow = jnp.where(
+                lane1 == j,
+                d,
+                jnp.where(lane1 > j, row / d, jnp.zeros_like(row)),
+            )
+            S = jnp.where(sub8 == jj, newrow, S)
+            if jj + 1 < _MINI:
+                coef = jax.lax.dot_general(
+                    Psel, newrow,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                S = S - jnp.where(
+                    sub8 > jj, coef * newrow, jnp.zeros_like(S)
+                )
+        mblk[c0 : c0 + _MINI, :] = S
+        if c0 + _MINI < B:
+            M = jax.lax.dot_general(
+                S, S,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            T = mblk[c0 + _MINI : B, :]
+            mblk[c0 + _MINI : B, :] = T - M[c0 + _MINI : B, :]
+
+
 def _tri_inverse(L: Array) -> Array:
     """Inverse of a lower-triangular [B, B] factor by block doubling.
 
@@ -216,13 +284,15 @@ def _tri_inverse(L: Array) -> Array:
     return 2.0 * T - mm_hi(T, mm_hi(L, T))
 
 
-def _chol_kernel(n: int, a_ref, out_ref):
+def _chol_kernel(n: int, a_ref, out_ref, mblk):
     out_ref[0] = a_ref[0]
     P = n // B
     for p in range(P):
         lo = p * B
         hi = lo + B
-        D = _micro_cholesky(out_ref[0, lo:hi, lo:hi])
+        mblk[...] = out_ref[0, lo:hi, lo:hi]
+        _micro_cholesky_scratch(mblk)
+        D = mblk[...].T
         out_ref[0, lo:hi, lo:hi] = D
         if hi < n:
             Tinv = _tri_inverse(D)
@@ -476,24 +546,23 @@ def cholesky_pallas(K: Array, interpret: bool = False) -> Array:
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, n_pad, n_pad), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, n_pad, n_pad), lambda b: (b, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ],
-            out_specs=pl.BlockSpec(
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
                 (1, n_pad, n_pad), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, n_pad), lambda b: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         cost_estimate=pl.CostEstimate(
             flops=nb * n_pad**3 // 3,
             bytes_accessed=2 * nb * n_pad * n_pad * 4,
             transcendentals=nb * n_pad,
         ),
+        scratch_shapes=[pltpu.VMEM((B, B), jnp.float32)],  # mblk
         interpret=interpret,
     )(K)
     out = out[:, :n, :n]
@@ -512,7 +581,8 @@ def cholesky_pallas(K: Array, interpret: bool = False) -> Array:
 
 
 def _chol_inv_kernel(
-    n: int, a_ref, l_ref, t_ref, panel, colbuf, rowbuf, tband, sems
+    n: int, a_ref, l_ref, t_ref, panel, colbuf, rowbuf, tband, mblk,
+    sems,
 ):
     """K [n, n] in HBM → L, T=L⁻¹ [n, n] in HBM, **left-looking**.
 
@@ -567,33 +637,45 @@ def _chol_inv_kernel(
             cp_row.wait()
         cp_panel.wait()
 
-        # 2. left-looking update, two-slot double-buffered stream
+        # 2. left-looking update, two-slot double-buffered stream of
+        # CW-wide chunks.  At B=128-wide streaming the update GEMMs
+        # are contraction-starved ([rows,128]×[128,128] ran the whole
+        # kernel at ~12 TFLOP/s while XLA's fat GEMMs hit ~59 on this
+        # chip — mfu_probe, n=4096); CW=512 quadruples the contraction
+        # depth per MXU pass at the cost of a wider colbuf.
         if p > 0:
+            nch = -(-lo // CW)
             cps = [None, None]
 
-            def col_dma(j):
+            def ch_dma(j):
+                w = min(CW, lo - j * CW)
                 return start(
-                    l_ref.at[pl.ds(lo, rows), pl.ds(j * B, B)],
-                    colbuf.at[j % 2, pl.ds(0, rows), :],
+                    l_ref.at[pl.ds(lo, rows), pl.ds(j * CW, w)],
+                    colbuf.at[j % 2, pl.ds(0, rows), pl.ds(0, w)],
                     sems.at[1 + (j % 2)],
                 )
 
-            cps[0] = col_dma(0)
-            for j in range(p):
-                if j + 1 < p:
-                    cps[(j + 1) % 2] = col_dma(j + 1)
+            cps[0] = ch_dma(0)
+            for j in range(nch):
+                w = min(CW, lo - j * CW)
+                if j + 1 < nch:
+                    cps[(j + 1) % 2] = ch_dma(j + 1)
                 cps[j % 2].wait()
                 upd = jax.lax.dot_general(
-                    colbuf[j % 2, pl.ds(0, rows), :],
-                    rowbuf[0:B, pl.ds(j * B, B)],
+                    colbuf[j % 2, pl.ds(0, rows), pl.ds(0, w)],
+                    rowbuf[0:B, pl.ds(j * CW, w)],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
                 panel[pl.ds(0, rows), :] = panel[pl.ds(0, rows), :] - upd
 
-        # 3. factorize the panel
-        D = _micro_cholesky(panel[0:B, :])
+        # 3. factorize the panel's diagonal block in the dedicated
+        # scratch (see _micro_cholesky_scratch on why: Mosaic
+        # scoped-vmem stack + interpret-mode store ordering)
+        mblk[...] = panel[0:B, :]
+        _micro_cholesky_scratch(mblk)
+        D = mblk[...].T
         panel[0:B, :] = D
         Dinv = _tri_inverse(D)
         if m > 0:
@@ -617,7 +699,7 @@ def _chol_inv_kernel(
             def tcol_dma(j):
                 return start(
                     t_ref.at[pl.ds(j * B, lo - j * B), pl.ds(j * B, B)],
-                    colbuf.at[j % 2, pl.ds(0, lo - j * B), :],
+                    colbuf.at[j % 2, pl.ds(0, lo - j * B), pl.ds(0, B)],
                     sems.at[1 + (j % 2)],
                 )
 
@@ -630,7 +712,7 @@ def _chol_inv_kernel(
                 cps[j % 2].wait()
                 acc = jax.lax.dot_general(
                     rowbuf[0:B, pl.ds(jlo, span)],
-                    colbuf[j % 2, pl.ds(0, span), :],
+                    colbuf[j % 2, pl.ds(0, span), pl.ds(0, B)],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
@@ -686,13 +768,21 @@ def cholesky_inverse_pallas(K: Array, interpret: bool = False):
         ),
         scratch_shapes=[
             pltpu.VMEM((n, B), jnp.float32),       # panel
-            pltpu.VMEM((2, n, B), jnp.float32),    # colbuf (2-slot stream)
+            pltpu.VMEM((2, n, CW), jnp.float32),   # colbuf (2-slot stream)
             pltpu.VMEM((B, n), jnp.float32),       # rowbuf (L row band)
             pltpu.VMEM((B, n), jnp.float32),       # tband (T row band)
+            pltpu.VMEM((B, B), jnp.float32),       # mblk (diag factor)
             pltpu.SemaphoreType.DMA((6,)),
         ],
         input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the Mosaic scoped-vmem default is 16 MiB; the statically
+            # unrolled panel pipeline's stack plus the 5 n·B panels
+            # exceed that from n=4096 up.  v5e VMEM is 128 MiB — raise
+            # the cap so the compiler can use the hardware it has.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(K.astype(jnp.float32))
     return L, T
