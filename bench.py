@@ -58,7 +58,9 @@ import numpy as np
 
 N = 2048
 DIM = 3
-REPS = 30
+# the fetch that ends each measurement round varies by ~±10 ms under
+# tunnel load; at ~1.4 ms/eval the rep count must amortize that noise
+REPS = 100
 
 # Cached denominators for LINE 1 (so it needs no extra compiles).
 # Provenance:
@@ -564,8 +566,8 @@ def stage_reference_cpu(opts):
 
 STAGE_FNS = {
     "flagship2048": stage_flagship2048,
-    "flagship4096": lambda o: stage_flagship_n(o, 4096, 12),
-    "flagship8192": lambda o: stage_flagship_n(o, 8192, 6),
+    "flagship4096": lambda o: stage_flagship_n(o, 4096, 40),
+    "flagship8192": lambda o: stage_flagship_n(o, 8192, 12),
     "predict": stage_predict,
     "ski": stage_ski,
     "kron": stage_kron,
@@ -589,7 +591,7 @@ STAGES = [
     ("flagship2048", 660),
     ("roofline", 180),
     ("reference_cpu", 280),
-    ("flagship4096", 330),
+    ("flagship4096", 420),
     ("predict", 240),
     ("ski", 270),
     ("statespace", 300),
@@ -654,6 +656,7 @@ def main():
     hard_stop = start + budget + 300.0
     done = set()
     opts = {}
+    silent_exits = 0
 
     while True:
         todo = [n for n, _ in STAGES if n not in done]
@@ -670,6 +673,7 @@ def main():
             cmd += ["--opt", f"{k}={v}"]
         env = dict(os.environ)
         env["BENCH_START_EPOCH"] = repr(start)
+        env["BENCH_BUDGET_S"] = str(budget)
         proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, text=True, bufsize=1, env=env
         )
@@ -760,7 +764,24 @@ def main():
             if current is not None:
                 done.add(current)
             if proc.returncode == 0:
-                break
+                remaining = [n for n, _ in STAGES if n not in done]
+                if not remaining:
+                    break
+                # Observed in the wild: a child spawned right after
+                # its predecessor was SIGKILLed mid-tunnel-compile can
+                # exit 0 having printed NOTHING (axon client quirk).
+                # A clean exit with work left is anomalous — relaunch,
+                # but never spin: after two such exits, report and go.
+                silent_exits += 1
+                if silent_exits > 2:
+                    for n in remaining:
+                        _emit({
+                            "metric": n,
+                            "skipped": "child_exited_clean_with_"
+                                       "work_left",
+                        })
+                    break
+                continue
             continue
 
 
@@ -786,7 +807,7 @@ if __name__ == "__main__":
             start_epoch=float(
                 os.environ.get("BENCH_START_EPOCH", time.time())
             ),
-            budget=float(os.environ.get("BENCH_BUDGET_S", "540")),
+            budget=float(os.environ.get("BENCH_BUDGET_S", "660")),
             opts=stage_opts,
         )
     elif args.stage is None:
