@@ -594,7 +594,9 @@ STAGES = [
     ("flagship4096", 420),
     ("predict", 240),
     ("ski", 270),
-    ("statespace", 300),
+    # three n=1e6 tunnel compiles (value, grad@n/8, posterior): the
+    # whole stage measured ~530 s end-to-end on a healthy tunnel
+    ("statespace", 620),
     ("flagship8192", 360),
     ("kron", 240),
 ]

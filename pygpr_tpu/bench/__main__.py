@@ -12,9 +12,11 @@
                 chip — directly comparable to the --large-n grBCM row
                 (same generative function, N, and query set).
   --statespace  exact Matérn-3/2 GP at n=1M via the state-space
-                parallel-scan path: NLML value+grad s/eval and the
-                two-program smoothed posterior at 4096 query times,
-                one JSON line.
+                parallel-scan path: NLML value s/eval at n=1e6,
+                value+grad s/eval at n/8 (reverse-mode through the
+                scan compiles linearly in n — noted in the line), and
+                the two-program smoothed posterior at 4096 query
+                times; one JSON line.
   --million     BASELINE config 5 correctness artifact: grBCM N=1M,
                 experts sharded over the device mesh.  Run on CPU with
                 8 virtual devices via
