@@ -142,3 +142,51 @@ def test_large_n_runs_fast_and_finite():
     assert np.isfinite(v)
     # NLML per point should be O(1) and roughly the noise entropy
     assert -1.0 < v / n < 2.0, v / n
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5])
+def test_forward_mode_gradients_match_reverse(nu):
+    """The two large-n gradient paths — the forward-mode custom VJP
+    (`nlml_ss_fwdgrad`, one jvp-augmented scan) and the two-program
+    host-composed value+grad (`nlml_ss_value_and_grad`, elementwise
+    stage A + scan-only stage B) — are exact: both match reverse-mode
+    AD through the scan to round-off."""
+    rng = np.random.default_rng(5)
+    n = 384
+    t = jnp.asarray(np.sort(rng.uniform(0, 40, n)))
+    y = jnp.sin(0.7 * t) + 0.1 * jnp.asarray(rng.normal(size=n))
+    p = jnp.asarray([1.1, 0.9, 0.2])
+
+    v_ref, g_ref = jax.value_and_grad(
+        lambda q: ss.nlml_ss(nu, q, t, y)
+    )(p)
+    v_f, g_f = jax.value_and_grad(
+        lambda q: ss.nlml_ss_fwdgrad(nu, q, t, y)
+    )(p)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_ref), rtol=1e-9
+    )
+    v_2, g_2 = ss.nlml_ss_value_and_grad(nu, p, t, y)
+    np.testing.assert_allclose(float(v_2), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g_2), np.asarray(g_ref), rtol=1e-9
+    )
+
+
+def test_fit_ss_large_matches_fit_ss():
+    """The SciPy-driven two-program fit lands on the same optimum as
+    the jitted L-BFGS fit."""
+    rng = np.random.default_rng(6)
+    n = 400
+    t = jnp.asarray(np.sort(rng.uniform(0, 60, n)))
+    y = jnp.sin(0.5 * t) + 0.1 * jnp.asarray(rng.normal(size=n))
+    r1 = ss.fit_ss(1.5, t, y, max_iter=150)
+    r2 = ss.fit_ss_large(1.5, t, y, max_iter=100)
+    assert bool(r2.converged)
+    np.testing.assert_allclose(
+        np.asarray(r2.params), np.asarray(r1.params), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(r2.nlml), float(r1.nlml), rtol=1e-6, atol=1e-4
+    )
