@@ -591,9 +591,12 @@ STAGES = [
     ("flagship2048", 660),
     ("roofline", 180),
     ("reference_cpu", 280),
-    ("flagship4096", 420),
+    # predict/ski before the 4096 flagship: their programs compile in
+    # ~1 min warm while the 4096 fused-kernel compile has been
+    # observed anywhere from 1 to 7+ minutes — cheap lines first
     ("predict", 240),
     ("ski", 270),
+    ("flagship4096", 420),
     # three n=1e6 tunnel compiles (value, grad@n/8, posterior): the
     # whole stage measured ~530 s end-to-end on a healthy tunnel
     ("statespace", 620),
