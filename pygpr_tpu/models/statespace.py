@@ -698,6 +698,217 @@ def nlml_ss_value_and_grad(
     return _nlml_vg_stage_b(primal, tans, y)
 
 
+# --------------------------------------------------------------------
+# Adjoint-scan exact gradient — the n = 10⁶ TPU gradient path
+# --------------------------------------------------------------------
+#
+# Why not the textbook EM / Fisher-identity gradient on smoothed
+# moments (∂θ E[−log p(x,y|θ) | y])?  It was implemented and MEASURED
+# here first: every transition term carries tr(Qᵢ⁻¹Mᵢ) with
+# Mᵢ ≈ Qᵢ + O(ε·P), and for small λ·Δt the gram of Q collapses
+# (det Q ~ Δt^{d²}) so the ε·P statistics error is amplified by
+# ~κ(Q): at d=2, n=2·10⁴ over a dense chain the f64 gradient was off
+# by 13% and f32 NaN'd; d=3 broke down even in f64 (52% at n=500).
+# No whitening fixes it — the *fixed smoothed statistics themselves*
+# carry P-scale absolute error that Q⁻¹ magnifies.
+#
+# The shipped formulation is the exact ADJOINT of the innovation
+# (prediction-error) decomposition — mathematically the
+# Koopman–Shephard exact score / disturbance-smoother route, derived
+# here directly as reverse-mode differentiation of the filter
+# recursion, reorganised as ONE backward associative scan:
+#
+#   NLML = Σₜ ½(log 2πSₜ + vₜ²/Sₜ),    eₜ = vₜ/Sₜ,
+#   cₜ = ½(1/Sₜ − vₜ²/Sₜ²),            Λₜ = Aₜ₊₁(I − KₜH),
+#   ḡₜ := ∂NLML/∂m̄ₜ = −Hᵀeₜ + Λₜᵀḡₜ₊₁,
+#   Γₜ := ∂NLML/∂P̄ₜ = cₜHᵀH + sym(Λₜᵀḡₜ₊₁ eₜᵀH) + ΛₜᵀΓₜ₊₁Λₜ.
+#
+# The pair (ḡ, Γ) follows an affine backward recursion that CLOSES
+# under composition with elements (E, u, C, h):
+#   f(g, Γ) = (u + Eᵀg,  C + sym(Eᵀg hᵀ) + EᵀΓE),
+#   (f_a ∘ f_b): E ← E_b E_a, u ← u_a + E_aᵀu_b,
+#                C ← C_a + sym(E_aᵀu_b h_aᵀ) + E_aᵀC_b E_a,
+#                h ← h_a + E_aᵀh_b                      (a=earlier),
+# so one reversed associative scan yields every (ḡₜ, Γₜ).  The
+# gradient then assembles ELEMENTWISE:
+#   ∂NLML/∂θ = ∂θ[ Σₜ ḡₜᵀ(Aₜ(θ) mₜ₋₁)
+#                  + Σₜ ⟨Γₜ, Aₜ(θ)Pₜ₋₁Aₜ(θ)ᵀ + Qₜ(θ)⟩
+#                  + (Σₜ cₜ)·σₙ²(θ) ]          (adjoint method),
+# with the filtered moments (mₜ₋₁, Pₜ₋₁) and (ḡ, Γ, c) held fixed.
+# No Q⁻¹ appears anywhere: the arithmetic is the same as reverse-mode
+# AD's, so it matches AD to round-off in BOTH f64 and f32 — at every
+# chain density — while every one of the three programs compiles flat
+# in n.  Tied steps (Δt = 0) need no special casing: A ≡ I, Q ≡ 0
+# with zero θ-derivative contribute zero through the linear functional.
+
+
+@_partial(jax.jit, static_argnums=(0,))
+def _adj_stage_a(nu, params, t, y):
+    """Adjoint-gradient stage A: prep + parallel filter + innovation
+    NLML value + per-step adjoint elements, ONE XLA program whose only
+    scan is the filter (flat TPU compile at any n).
+
+    Returns ``(elems, m_prev, p_prev, c, val)`` with
+    ``elems = (Λ [d,d,n], u [d,1,n], C [d,d,n], h [d,1,n])``.
+    """
+    dtype = y.dtype
+    d = _ssm_dim(nu)
+    n = y.shape[0]
+    mask = jnp.ones_like(y)
+    a_s, q_s, p_inf, r_var = _prep(nu, params, t, y, None)
+    ms, ps = _filter_assoc(a_s, q_s, p_inf, y, r_var, mask)
+    m_prev = jnp.concatenate(
+        [jnp.zeros((d, 1), dtype), ms[:, :-1]], axis=-1
+    )
+    p_prev = jnp.concatenate(
+        [p_inf[:, :, None], ps[:, :, :-1]], axis=-1
+    )
+    m_bar = _bmv(a_s, m_prev)
+    p_bar = _bmm(_bmm(a_s, p_prev), _t(a_s)) + q_s
+    s = p_bar[0, 0] + r_var
+    v = y - m_bar[0]
+    val = 0.5 * jnp.sum(
+        jnp.log(2.0 * jnp.asarray(math.pi, dtype) * s)
+        + jnp.square(v) / s
+    )
+    e_in = v / s
+    c = 0.5 * (1.0 / s - jnp.square(v) / jnp.square(s))
+    k = p_bar[:, 0] / s                                   # gain [d, n]
+    # (I − K H): identity minus k in column 0
+    eye_n = jnp.broadcast_to(
+        jnp.eye(d, dtype=dtype)[:, :, None], (d, d, n)
+    )
+    col0 = (jnp.arange(d) == 0).astype(dtype)             # H row
+    ikh = eye_n - k[:, None, :] * col0[None, :, None]
+    a_next = jnp.concatenate(
+        [a_s[:, :, 1:], jnp.zeros((d, d, 1), dtype)], axis=-1
+    )                                                     # A_{t+1}; 0 at end
+    lam = _bmm(a_next, ikh)
+    u = -(col0[:, None, None] * e_in[None, None, :])      # −Hᵀe [d,1,n]
+    h = -u                                                # +Hᵀe
+    c_mat = (
+        c[None, None, :]
+        * col0[:, None, None] * col0[None, :, None]
+    )                                                     # c·HᵀH [d,d,n]
+    w_r = _bmv(a_next, k)                                 # A_{t+1}K_t
+    return (lam, u, c_mat, h), m_prev, p_prev, (c, e_in, w_r), val
+
+
+def _adj_combine(suffix, elem):
+    """Composition of adjoint affine elements (see the derivation in
+    the section comment).  ``reverse=True`` scan convention: arg0 is
+    the combined LATER suffix, arg1 the earlier element; the result is
+    f_elem ∘ f_suffix."""
+    es, us, cs, hs = suffix
+    ee, ue, ce, he = elem
+    eet = _t(ee)
+    g_mid = _bmm(eet, us)                   # E_eᵀ u_s  [d,1,n]
+    cross = _bmm(g_mid, _t(he))             # outer(E_eᵀu_s, h_e)
+    c_out = (
+        ce + 0.5 * (cross + _t(cross)) + _bmm(eet, _bmm(cs, ee))
+    )
+    return (
+        _bmm(es, ee),
+        ue + g_mid,
+        c_out,
+        he + _bmm(eet, hs),
+    )
+
+
+@jax.jit
+def _adj_stage_b(elems):
+    """Adjoint-gradient stage B: the reversed associative scan over
+    the (E, u, C, h) elements as its OWN XLA program (the same
+    two-program compile discipline as :func:`_smooth_scan` — fusing a
+    scan with the producer of its operands makes the TPU compile
+    linear in n).  Returns ``(ḡ [d,n], Γ [d,d,n])``."""
+    _, u_c, c_c, _ = jax.lax.associative_scan(
+        _adj_combine, elems, reverse=True, axis=2
+    )
+    return u_c[:, 0, :], c_c
+
+
+@_partial(jax.jit, static_argnums=(0,))
+def _adj_stage_c(nu, params, t, y, gbar, gam, m_prev, p_prev, aux):
+    """Adjoint-gradient stage C: assemble ∂NLML/∂θ as the θ-gradient
+    of the LINEAR functional of (A(θ), Q(θ), σₙ²(θ)) whose
+    coefficients are the fixed adjoints — purely elementwise in n, no
+    scan, flat compile, one cheap reverse-mode sweep.
+
+    The σₙ² coefficient has three parts: the direct Σcₜ, plus the two
+    INDIRECT per-step paths of R through the gain — δmₜ = −Kₜeₜ·δR
+    and δPₜ = KₜKₜᵀ·δR — weighted by the NEXT step's adjoints
+    (wₜ = Aₜ₊₁Kₜ):  Σₜ[−eₜ·ḡₜ₊₁ᵀwₜ + wₜᵀΓₜ₊₁wₜ].
+    """
+    c, e_in, w_r = aux
+    d = gbar.shape[0]
+    dtype = y.dtype
+    gbar_n = jnp.concatenate(
+        [gbar[:, 1:], jnp.zeros((d, 1), dtype)], axis=-1
+    )                                                     # ḡ_{t+1}
+    gam_n = jnp.concatenate(
+        [gam[:, :, 1:], jnp.zeros((d, d, 1), dtype)], axis=-1
+    )                                                     # Γ_{t+1}
+    r_coef = (
+        jnp.sum(c)
+        - jnp.sum(e_in * jnp.sum(gbar_n * w_r, axis=0))
+        + jnp.sum(w_r[:, None, :] * gam_n * w_r[None, :, :])
+    )
+
+    def linear_functional(p):
+        a_s, q_s, _p_inf, r_var = _prep(nu, p, t, y, None)
+        m_bar = _bmv(a_s, m_prev)
+        p_bar = _bmm(_bmm(a_s, p_prev), _t(a_s)) + q_s
+        return (
+            jnp.sum(gbar * m_bar)
+            + jnp.sum(gam * p_bar)
+            + r_coef * r_var
+        )
+
+    return jax.grad(linear_functional)(params)
+
+
+def nlml_ss_adjoint_value_and_grad(
+    nu: float,
+    params: Array,
+    t: Array,
+    y: Array,
+    config: Config = DEFAULT,
+) -> Tuple[Array, Array]:
+    """Exact (NLML, ∂NLML/∂θ) via the adjoint scan — THREE
+    host-composed XLA programs, EVERY compile flat in n.  This is the
+    practical n = 10⁶ exact-gradient path on TPU.
+
+    Why a third formulation: reverse-mode AD *through* the associative
+    scan compiles ∝ n×ops on the current Mosaic/XLA toolchain (95 s at
+    n=125k, >25 min at n=10⁶; forward-mode and the linearized-combine
+    two-program split are worse — see :func:`nlml_ss_value_and_grad`;
+    and the naive EM/Fisher surrogate is numerically destroyed by
+    Q⁻¹ conditioning — measured numbers in the section comment
+    above).  The adjoint route differentiates NO scan: stage A is the
+    filter (one scan), stage B is one backward affine scan over
+    (E, u, C, h) adjoint elements, and stage C — the only
+    differentiated program — is an elementwise linear functional.
+    Because the arithmetic is reverse-mode AD's own, the result
+    matches AD to round-off in f64 AND f32 at any chain density
+    (parity + duplicate-stamp tests in tests/test_statespace.py).
+
+    Not traceable under an outer ``jit`` (three programs by design) —
+    use reverse-mode AD of :func:`nlml_ss` for small n instead.
+
+    Reference contract: ``MLE.loss_and_grad``
+    ``/root/reference/PyGPR/loss.py:84-128`` — the same exact
+    quantities, at a scale (n=10⁶ on one chip) the dense reference
+    pipeline cannot represent.
+    """
+    elems, m_prev, p_prev, aux, val = _adj_stage_a(nu, params, t, y)
+    gbar, gam = _adj_stage_b(elems)
+    grad = _adj_stage_c(
+        nu, params, t, y, gbar, gam, m_prev, p_prev, aux
+    )
+    return val, grad
+
+
 class FitSSResult(NamedTuple):
     params: Array
     nlml: Array
@@ -739,23 +950,28 @@ def fit_ss_large(
     *,
     max_iter: int = 100,
     tol: Optional[float] = None,
+    grad_method: str = "auto",
     config: Config = DEFAULT,
 ) -> FitSSResult:
     """Hyperparameter fit for large n: SciPy L-BFGS-B on the host
-    driving ONE jitted value+grad program per iteration, log-space.
+    driving jitted value+grad programs per iteration, log-space.
 
     ``tol`` is SciPy's ``ftol``; the default is dtype-aware (1e-9 for
     f64, 1e-6 for f32 — an f32 objective cannot satisfy f64-grade
     decrease tests, which would otherwise report ``converged=False``
     on a perfectly converged fit).
 
+    ``grad_method``: ``"ad"`` is one reverse-mode value+grad program —
+    best below ~2·10⁵ points but its TPU compile grows ∝ n (95 s at
+    n=125k, >25 min at n=10⁶).  ``"adjoint"`` is
+    :func:`nlml_ss_adjoint_value_and_grad` — three programs whose
+    compiles are flat in n, the n=10⁶ path.  ``"auto"`` (default)
+    picks adjoint from n ≥ 200k.
+
     vs :func:`fit_ss` (a single jitted while_loop): each device call
-    here is one ~0.1-s value+grad eval — safe under remote-runtime
-    watchdogs that kill long device executions — and the line search
-    runs on the host.  Practical TPU range is set by the gradient
-    program's compile (~95 s at n=125k, growing with n; at n=10⁶ only
-    the NLML *value* program is compilable — see
-    :func:`nlml_ss_value_and_grad` for the measured story).
+    here is a short eval — safe under remote-runtime watchdogs that
+    kill long device executions — and the line search runs on the
+    host.
     """
     import numpy as np
     from scipy.optimize import minimize
@@ -764,15 +980,30 @@ def fit_ss_large(
         params0 = jnp.asarray([1.0, 1.0, 0.3], y.dtype)
     u0 = np.log(np.abs(np.asarray(params0, np.float64)))
 
-    vg = jax.jit(
-        lambda u_j: jax.value_and_grad(
-            lambda u: nlml_ss(nu, jnp.exp(u), t, y, config)
-        )(u_j)
-    )
+    if grad_method == "auto":
+        grad_method = "adjoint" if t.shape[0] >= 200_000 else "ad"
 
-    def f(u):
-        v, g = vg(jnp.asarray(u, y.dtype))
-        return float(v), np.asarray(g, np.float64)
+    if grad_method in ("adjoint", "fisher"):  # "fisher" kept as alias
+        def f(u):
+            p = jnp.exp(jnp.asarray(u, y.dtype))
+            v, g = nlml_ss_adjoint_value_and_grad(nu, p, t, y, config)
+            # chain rule to log-space: ∂/∂u = ∂/∂p · p
+            return float(v), np.asarray(g, np.float64) * np.exp(u)
+    else:
+        # t/y ride as jit ARGUMENTS, never closed over: a closed-over
+        # array is baked into the program as a constant and
+        # re-uploaded with every compile over the remote tunnel —
+        # exactly the large-n path this function exists for (repo
+        # environment rule).
+        vg = jax.jit(
+            lambda u_j, t_j, y_j: jax.value_and_grad(
+                lambda u: nlml_ss(nu, jnp.exp(u), t_j, y_j, config)
+            )(u_j)
+        )
+
+        def f(u):
+            v, g = vg(jnp.asarray(u, y.dtype), t, y)
+            return float(v), np.asarray(g, np.float64)
 
     if tol is None:
         tol = 1e-9 if y.dtype == jnp.float64 else 1e-6

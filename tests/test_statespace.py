@@ -190,3 +190,78 @@ def test_fit_ss_large_matches_fit_ss():
     np.testing.assert_allclose(
         float(r2.nlml), float(r1.nlml), rtol=1e-6, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5])
+def test_adjoint_gradient_matches_reverse(nu):
+    """The adjoint-scan gradient — the flat-compile n=10⁶ path — is
+    EXACT: value and gradient match reverse-mode AD through the scan
+    to f64 round-off, including chains with duplicate time stamps
+    (θ-free deterministic transitions contribute zero through the
+    linear functional, no special casing)."""
+    rng = np.random.default_rng(7)
+    n = 500
+    t_base = np.sort(rng.uniform(0, 50, n))
+    t_dup = np.sort(np.concatenate([t_base, t_base[::11]]))
+    t = jnp.asarray(t_dup)
+    y = jnp.sin(0.6 * t) + 0.1 * jnp.asarray(rng.normal(size=t.size))
+    p = jnp.asarray([1.2, 0.8, 0.25])
+
+    v_ref, g_ref = jax.value_and_grad(
+        lambda q: ss.nlml_ss(nu, q, t, y)
+    )(p)
+    v_f, g_f = ss.nlml_ss_adjoint_value_and_grad(nu, p, t, y)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_ref), rtol=1e-9
+    )
+
+
+def test_adjoint_gradient_f32_accuracy():
+    """Measured f32 agreement of the adjoint gradient vs the f64 AD
+    oracle at a realistically dense chain (small λ·Δt — the regime
+    that destroyed the naive EM/Fisher surrogate, see the module's
+    section comment): the adjoint form shares reverse-mode AD's
+    arithmetic, so f32 must stay at ordinary f32 round-off levels."""
+    rng = np.random.default_rng(8)
+    n = 20_000
+    t64 = np.sort(rng.uniform(0, 40.0, n))       # mean λ·Δt ~ 3e-3
+    y64 = np.sin(0.7 * t64) + 0.1 * rng.normal(size=n)
+    p64 = np.asarray([1.1, 0.9, 0.2])
+
+    g_ref = jax.grad(
+        lambda q: ss.nlml_ss(
+            1.5, q, jnp.asarray(t64), jnp.asarray(y64)
+        )
+    )(jnp.asarray(p64))
+    v32, g32 = ss.nlml_ss_adjoint_value_and_grad(
+        1.5,
+        jnp.asarray(p64, jnp.float32),
+        jnp.asarray(t64, jnp.float32),
+        jnp.asarray(y64, jnp.float32),
+    )
+    assert np.isfinite(float(v32))
+    rel = np.abs(np.asarray(g32, np.float64) - np.asarray(g_ref)) / (
+        np.abs(np.asarray(g_ref)) + 1e-3 * float(jnp.abs(g_ref).max())
+    )
+    assert rel.max() < 1e-3, (np.asarray(g32), np.asarray(g_ref))
+
+
+def test_fit_ss_large_adjoint_matches_ad():
+    """fit_ss_large(grad_method="adjoint") lands on the same optimum
+    as the AD path ("fisher" is accepted as a legacy alias)."""
+    rng = np.random.default_rng(9)
+    n = 400
+    t = jnp.asarray(np.sort(rng.uniform(0, 60, n)))
+    y = jnp.sin(0.5 * t) + 0.1 * jnp.asarray(rng.normal(size=n))
+    r_ad = ss.fit_ss_large(1.5, t, y, max_iter=100, grad_method="ad")
+    r_fi = ss.fit_ss_large(
+        1.5, t, y, max_iter=100, grad_method="adjoint"
+    )
+    assert bool(r_fi.converged)
+    np.testing.assert_allclose(
+        np.asarray(r_fi.params), np.asarray(r_ad.params), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(r_fi.nlml), float(r_ad.nlml), rtol=1e-6, atol=1e-4
+    )
