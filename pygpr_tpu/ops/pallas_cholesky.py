@@ -741,19 +741,272 @@ def _chol_inv_kernel(
         cp_lpanel.wait()
 
 
+# ---------------------------------------------------------------------------
+# Rolled-loop fused Cholesky + inverse: the SAME left-looking algorithm
+# as _chol_inv_kernel, but the panel loop is a traced lax.fori_loop so
+# Mosaic compiles the body ONCE — compile time flat in n instead of the
+# statically-unrolled pipeline's ∝ P growth (>25 min at the 64-panel
+# n=8192 unroll, the reason MAX_FUSED_N stops at 5632; docs/mfu.md).
+#
+# What changes to make every slice static-SIZE (Pallas requirement)
+# while offsets are traced:
+#   * the K/L panel is fetched/written FULL HEIGHT [n, B] (the junk
+#     rows above the diagonal are masked to zero at write-back — they
+#     never re-enter the factorization);
+#   * the L row band rides a full-width [B, n] DMA and is masked
+#     (cols ≥ lo → 0) once per panel, which simultaneously kills the
+#     junk contraction lanes of BOTH streamed stages;
+#   * the left-looking update streams fixed [CHR, CW] blocks on an
+#     ABSOLUTE row grid (first chunk may cover junk rows — harmless,
+#     see above), double-buffered exactly as the fused kernel's column
+#     stream;
+#   * the T-band contraction streams fixed [CW, CW] blocks of T
+#     (valid including their zero upper triangles because every T row
+#     band is written full-width), double-buffered, jc ≤ c blocks only.
+# ---------------------------------------------------------------------------
+
+CHR = 512  # rolled-kernel stream row-chunk height
+MAX_ROLLED_N = 16384  # VMEM: panel+rowbuf+tband ≈ 3·n·B·4 ≤ ~25 MB
+
+
+def _chol_inv_kernel_rolled(
+    n: int, a_ref, l_ref, t_ref, panel, rowbuf, tband, acc, sbuf,
+    tbuf, mblk, dblk, sems,
+):
+    P = n // B
+    NRK = n // CHR
+
+    def start(src, dst, sem):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        return cp
+
+    rowid_nb = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+    colid_bn = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+
+    def panel_body(p, _):
+        lo = pl.multiple_of(p * B, B)
+        hi = lo + B
+        nch = pl.cdiv(lo, CW)          # column chunks left of diagonal
+
+        # ---- fetch: K panel (full height) + finished L row band ----
+        cp_p = start(
+            l_ref.at[:, pl.ds(lo, B)], panel, sems.at[0]
+        )
+
+        @pl.when(p > 0)
+        def _():
+            start(
+                l_ref.at[pl.ds(lo, B), :], rowbuf, sems.at[1]
+            ).wait()
+            # one mask kills the junk lanes of BOTH streamed stages
+            rowbuf[...] = jnp.where(colid_bn < lo, rowbuf[...], 0.0)
+
+        cp_p.wait()
+
+        # ---- left-looking update: panel −= L[chunk,:lo]·Lrowᵀ ----
+        def stream_dma(slot, k, j):
+            return start(
+                l_ref.at[pl.ds(k * CHR, CHR), pl.ds(j * CW, CW)],
+                sbuf.at[slot],
+                sems.at[2 + slot],
+            )
+
+        @pl.when(nch > 0)
+        def _():
+            kf = lo // CHR             # absolute row-chunk grid
+
+            def kbody(k, _):
+                stream_dma(0, k, 0)
+                acc[...] = jnp.zeros_like(acc)
+
+                def jbody(j, _):
+                    slot = j % 2
+
+                    @pl.when(j + 1 < nch)
+                    def _():
+                        stream_dma((j + 1) % 2, k, j + 1)
+
+                    stream_dma(slot, k, j).wait()
+                    acc[...] = acc[...] + jax.lax.dot_general(
+                        sbuf[slot],
+                        rowbuf[:, pl.ds(j * CW, CW)],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                jax.lax.fori_loop(0, nch, jbody, None)
+                base = pl.multiple_of(k * CHR, CHR)
+                panel[pl.ds(base, CHR), :] = (
+                    panel[pl.ds(base, CHR), :] - acc[...]
+                )
+
+            jax.lax.fori_loop(kf, NRK, kbody, None)
+
+        # ---- diagonal block: micro-Cholesky + triangular inverse ----
+        mblk[...] = panel[pl.ds(lo, B), :]
+        _micro_cholesky_scratch(mblk)
+        D = mblk[...].T
+        panel[pl.ds(lo, B), :] = D
+        dblk[...] = _tri_inverse(D)
+
+        # ---- TRSM of the sub-column via the inverse ----
+        khi = hi // CHR
+
+        def tbody(k, _):
+            base = pl.multiple_of(k * CHR, CHR)
+            C = panel[pl.ds(base, CHR), :]
+            X = jax.lax.dot_general(
+                C, dblk[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),  # C·Dinvᵀ
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            rows = base + jax.lax.broadcasted_iota(
+                jnp.int32, (CHR, B), 0
+            )
+            panel[pl.ds(base, CHR), :] = jnp.where(rows >= hi, X, C)
+
+        jax.lax.fori_loop(khi, NRK, tbody, None)
+
+        # ---- write L panel back (junk rows above diagonal → 0) ----
+        panel[...] = jnp.where(rowid_nb >= lo, panel[...], 0.0)
+        cp_lout = start(
+            panel, l_ref.at[:, pl.ds(lo, B)], sems.at[0]
+        )
+
+        # ---- T row band: Tp· = −Dinv·(Lrow[:, :lo] @ T[:lo, :lo]) --
+        tband[...] = jnp.zeros_like(tband)
+
+        def tb_dma(slot, c, jc):
+            return start(
+                t_ref.at[pl.ds(c * CW, CW), pl.ds(jc * CW, CW)],
+                tbuf.at[slot],
+                sems.at[4 + slot],
+            )
+
+        @pl.when(nch > 0)
+        def _():
+            def cbody(c, _):
+                njc = c + 1            # T[c-chunk, jc] ≡ 0 for jc > c
+                tb_dma(0, c, 0)
+
+                def jcbody(jc, _):
+                    slot = jc % 2
+
+                    @pl.when(jc + 1 < njc)
+                    def _():
+                        tb_dma((jc + 1) % 2, c, jc + 1)
+
+                    tb_dma(slot, c, jc).wait()
+                    # rows ≥ lo of t_ref are UNWRITTEN memory — the
+                    # zeroed rowbuf lanes cannot kill them (0·NaN =
+                    # NaN), so mask the loaded block itself
+                    trows = c * CW + jax.lax.broadcasted_iota(
+                        jnp.int32, (CW, CW), 0
+                    )
+                    tblk = jnp.where(trows < lo, tbuf[slot], 0.0)
+                    contrib = jax.lax.dot_general(
+                        rowbuf[:, pl.ds(c * CW, CW)],
+                        tblk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    tband[:, pl.ds(jc * CW, CW)] = (
+                        tband[:, pl.ds(jc * CW, CW)] + contrib
+                    )
+
+                jax.lax.fori_loop(0, njc, jcbody, None)
+
+            jax.lax.fori_loop(0, nch, cbody, None)
+
+            def pmul(jc, _):
+                blk = tband[:, pl.ds(jc * CW, CW)]
+                tband[:, pl.ds(jc * CW, CW)] = -jax.lax.dot_general(
+                    dblk[...], blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
+            jax.lax.fori_loop(0, nch, pmul, None)
+
+        tband[:, pl.ds(lo, B)] = dblk[...]
+        start(
+            tband, t_ref.at[pl.ds(lo, B), :], sems.at[6]
+        ).wait()
+        cp_lout.wait()
+
+    jax.lax.fori_loop(0, P, panel_body, None)
+
+
+def _rolled_supported(n: int) -> bool:
+    return (
+        MAX_FUSED_N < n <= MAX_ROLLED_N
+        and n % CHR == 0
+        and n % CW == 0
+    )
+
+
+def cholesky_inverse_pallas_rolled(K: Array, interpret: bool = False):
+    """Rolled-loop fused ``(L, T=L⁻¹)`` — any n that is a multiple of
+    ``CHR`` (production dispatch uses it above ``MAX_FUSED_N``; tests
+    exercise it at small n in interpret mode)."""
+    n = K.shape[-1]
+    assert K.ndim == 2 and n % CHR == 0 and n % CW == 0 and n >= 2 * B
+    kernel = functools.partial(_chol_inv_kernel_rolled, n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, B), jnp.float32),        # panel
+            pltpu.VMEM((B, n), jnp.float32),        # rowbuf
+            pltpu.VMEM((B, n), jnp.float32),        # tband
+            pltpu.VMEM((CHR, B), jnp.float32),      # acc
+            pltpu.VMEM((2, CHR, CW), jnp.float32),  # sbuf
+            pltpu.VMEM((2, CW, CW), jnp.float32),   # tbuf
+            pltpu.VMEM((B, B), jnp.float32),        # mblk
+            pltpu.VMEM((B, B), jnp.float32),        # dblk
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(K.astype(jnp.float32))
+
+
 def cholesky_inverse_pallas(K: Array, interpret: bool = False):
     """Fused ``(L, T=L⁻¹)`` of SPD ``K [n, n]``, n a multiple of 128.
 
     HBM-resident with a ~2·n·128-float VMEM working set; the fast NLML
     gradient consumes both outputs (K⁻¹ = TᵀT).  Indefinite inputs
     produce NaNs that propagate — the jitter-ladder failure signal.
+
+    n ≤ ``MAX_FUSED_N`` runs the statically-unrolled pipeline; larger
+    n (multiple of 512, ≤ ``MAX_ROLLED_N``) the rolled-loop variant
+    whose Mosaic compile is flat in n.
     """
     n = K.shape[-1]
     assert K.ndim == 2 and n % B == 0 and n >= 2 * B
+    if n > MAX_FUSED_N:
+        assert _rolled_supported(n), n
+        return cholesky_inverse_pallas_rolled(K, interpret=interpret)
     # VMEM working set: 5 panels of n·B f32 (panel + 2-slot colbuf +
     # rowbuf + tband) ≈ 2.5·n KB — callers cap n (ops.linalg dispatch)
     # so this stays under the ~16 MB/core budget
-    assert n <= MAX_FUSED_N, n
     kernel = functools.partial(_chol_inv_kernel, n)
     L, T = pl.pallas_call(
         kernel,

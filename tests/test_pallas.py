@@ -190,3 +190,35 @@ def test_cholesky_inverse_pallas_indefinite_nan(rng):
     K = -np.eye(256, dtype=np.float32)
     L, _ = cholesky_inverse_pallas(jnp.asarray(K), interpret=True)
     assert not np.isfinite(np.asarray(L)).all()
+
+
+@pytest.mark.parametrize("n", [1024, 1536])
+def test_cholesky_inverse_rolled_interpret(n, rng):
+    """Rolled-loop fused (L, T=L⁻¹) kernel (traced panel fori_loop,
+    absolute-grid streams, masked junk lanes) vs NumPy, interpret
+    mode — the large-n variant whose Mosaic compile is flat in n."""
+    from pygpr_tpu.ops.pallas_cholesky import (
+        cholesky_inverse_pallas_rolled,
+    )
+
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    K = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    L, T = cholesky_inverse_pallas_rolled(jnp.asarray(K), interpret=True)
+    L, T = np.asarray(L), np.asarray(T)
+    Lr = np.linalg.cholesky(K.astype(np.float64))
+    np.testing.assert_allclose(L, Lr, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(T @ Lr, np.eye(n), atol=5e-3)
+    assert np.all(np.triu(L, 1) == 0.0)
+    assert np.all(np.triu(T, 1) == 0.0)
+
+
+def test_cholesky_inverse_rolled_indefinite_nan(rng):
+    """Indefinite input must surface NaNs through the rolled kernel —
+    the jitter ladder's retry signal."""
+    from pygpr_tpu.ops.pallas_cholesky import (
+        cholesky_inverse_pallas_rolled,
+    )
+
+    K = -np.eye(1024, dtype=np.float32)
+    L, _ = cholesky_inverse_pallas_rolled(jnp.asarray(K), interpret=True)
+    assert not np.isfinite(np.asarray(L)).all()
