@@ -68,12 +68,16 @@ REPS = 100
 #     precision=HIGHEST, measured on this chip in rounds 2–3 (judge
 #     remeasured 30 TFLOP/s in the round-3 verdict).  The live value
 #     is remeasured by the `roofline` stage each run.
-#   * torch reference 1.63 evals/s — driver-captured BENCH_r02.json
-#     (715.47 evals/s at vs_baseline 439.75); the judge's round-3
-#     rerun measured 1.27 evals/s on a loaded host.  The live value
-#     is remeasured by the `reference_cpu` stage each run.
+#   * torch reference: three known measurements of the same pipeline
+#     on this host — 1.63 evals/s (driver-captured BENCH_r02), 1.27
+#     (judge's round-3 rerun, loaded host), 1.249 (driver-captured
+#     BENCH_r04).  Line 1 divides by the FASTEST (1.63): the highest
+#     reference throughput gives the LOWEST — most conservative —
+#     vs_baseline multiplier.  The live value is remeasured by the
+#     `reference_cpu` stage each run and the live ratio re-emitted.
 ROOFLINE_TFLOPS_CACHED = 30.0
 TORCH_REF_CACHED_EVALS_PER_S = 1.63
+TORCH_REF_CACHED_RANGE = "1.25-1.63"
 
 # f32 matmul roofline model fallback (v5e bf16 peak 197 TFLOP/s ÷ 6
 # MXU passes) if the live measurement cannot run.
@@ -401,7 +405,79 @@ def bench_kron(latency, g=512, reps=20):
 # ---------------------------------------------------------------------------
 
 
-def _emit(rec):
+_FP_CACHE = {}
+
+
+def _fingerprint():
+    """Contention fingerprint attached to every metric line (VERDICT
+    r04 weak #2: cross-round swings like preds/s 1.03M → 637k carried
+    nothing that distinguishes "regression" from "congested chip").
+
+    Two cheap indicators, measured at EMIT time (after the stage's own
+    measurement, so they never contaminate it):
+      * ``fp_fetch_ms`` — min scalar-fetch latency over 5 round trips
+        (tunnel congestion pushes this from ~25 ms to 100+ ms);
+      * ``fp_matmul_tflops`` — a chained 1024³ f32-HIGHEST matmul rate
+        (shared-chip contention halves it).
+    First call compiles the two programs once per process; later calls
+    cost ~0.3 s.  Never fatal — on any failure the fields are omitted.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if "fns" not in _FP_CACHE:
+            f = jax.jit(lambda s: s + 1.0)
+            n = 1024
+            a = jnp.asarray(
+                np.random.default_rng(1)
+                .standard_normal((n, n))
+                .astype(np.float32)
+            )
+            g = jax.jit(
+                lambda x: jnp.matmul(
+                    x, a, precision=jax.lax.Precision.HIGHEST
+                )
+                * 1e-3
+            )
+            float(f(jnp.float32(0.0)))
+            jnp.sum(g(a)).item()
+            _FP_CACHE["fns"] = (f, g, a, n)
+        f, g, a, n = _FP_CACHE["fns"]
+        s = jnp.float32(0.0)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(s))
+            ts.append(time.perf_counter() - t0)
+        fetch = min(ts)
+        reps = 30
+        t0 = time.perf_counter()
+        x = a
+        for _ in range(reps):
+            x = g(x)
+        jnp.sum(x).item()
+        t = max((time.perf_counter() - t0 - fetch) / reps, 1e-9)
+        return {
+            "fp_fetch_ms": round(fetch * 1e3, 1),
+            "fp_matmul_tflops": round(2.0 * n**3 / t / 1e12, 1),
+        }
+    except Exception:
+        return {}
+
+
+#: set by run_stages (child mode) so every emitted record immediately
+#: feeds the SAME process's later stages (the common case is ONE child
+#: running all stages — without this, the roofline/reference stages
+#: only saw harvested values after a parent restart)
+_CHILD_OPTS = None
+
+
+def _emit(rec, fingerprint=True):
+    if fingerprint and "value" in rec:
+        rec = {**rec, **_fingerprint()}
+    if _CHILD_OPTS is not None:
+        _harvest(rec, _CHILD_OPTS)
     print(json.dumps(rec), flush=True)
 
 
@@ -419,9 +495,11 @@ def stage_flagship2048(opts):
                 evals_per_s / TORCH_REF_CACHED_EVALS_PER_S, 2
             ),
             "baseline": (
-                "torch-reference-f64-cpu (cached r02 driver capture "
-                f"{TORCH_REF_CACHED_EVALS_PER_S} evals/s; live "
-                "remeasure printed by the reference_cpu stage)"
+                "torch-reference-f64-cpu (cached measurements span "
+                f"{TORCH_REF_CACHED_RANGE} evals/s; this line divides "
+                f"by the fastest, {TORCH_REF_CACHED_EVALS_PER_S}, for "
+                "the most conservative multiplier; live remeasure + "
+                "live ratio printed by the reference_cpu stage)"
             ),
             "flops_per_eval": fl,
             "tflops": round(tflops, 2),
@@ -513,9 +591,18 @@ def stage_kron(opts):
 
 
 def stage_statespace(opts):
+    # slim mode (VERDICT r04 #2): value@1e6 + grad; the posterior
+    # timing (third tunnel compile) runs via `python -m
+    # pygpr_tpu.bench --statespace` only
     from pygpr_tpu.bench import bench_statespace_large
 
-    _emit(bench_statespace_large())
+    _emit(bench_statespace_large(include_posterior=False))
+
+
+def stage_grbcm1m(opts):
+    from pygpr_tpu.bench import bench_grbcm_million_serving
+
+    _emit(bench_grbcm_million_serving())
 
 
 def stage_roofline(opts):
@@ -572,6 +659,7 @@ STAGE_FNS = {
     "ski": stage_ski,
     "kron": stage_kron,
     "statespace": stage_statespace,
+    "grbcm1m": stage_grbcm1m,
     "roofline": stage_roofline,
     "reference_cpu": stage_reference_cpu,
 }
@@ -581,8 +669,11 @@ STAGE_FNS = {
 # what bounds the total run.  Order: the flagship headline first, then
 # the two CHEAP-compile cross-check lines (the roofline program is one
 # plain matmul; the torch reference never touches the TPU) so even a
-# congested tunnel yields ≥3–4 driver-recorded lines, then the rest by
-# value-per-compile.
+# congested tunnel yields ≥3–4 driver-recorded lines.  After those,
+# round-5 rotation (VERDICT r04 #2): statespace/kron/8192/grbcm1m have
+# never appeared in a driver capture while predict/ski have two
+# recorded rounds each — the structured families go first this round.
+# Whatever the budget cuts off is recapped in the final summary line.
 STAGES = [
     # the first stage absorbs the process's FIRST tunnel compile,
     # which under heavy congestion has been measured at 500+ s for a
@@ -591,17 +682,14 @@ STAGES = [
     ("flagship2048", 660),
     ("roofline", 180),
     ("reference_cpu", 280),
-    # predict/ski before the 4096 flagship: their programs compile in
-    # ~1 min warm while the 4096 fused-kernel compile has been
-    # observed anywhere from 1 to 7+ minutes — cheap lines first
+    # slim statespace: two n=1e6-class tunnel compiles (value, grad)
+    ("statespace", 480),
+    ("kron", 240),
+    ("flagship8192", 420),
+    ("flagship4096", 420),
+    ("grbcm1m", 420),
     ("predict", 240),
     ("ski", 270),
-    ("flagship4096", 420),
-    # three n=1e6 tunnel compiles (value, grad@n/8, posterior): the
-    # whole stage measured ~530 s end-to-end on a healthy tunnel
-    ("statespace", 620),
-    ("flagship8192", 360),
-    ("kron", 240),
 ]
 
 _CAPS = dict(STAGES)
@@ -626,6 +714,8 @@ def run_stages(skip, start_epoch, budget, opts):
     """Child mode: run every non-skipped stage sequentially in ONE
     process (one jax/tunnel init), announcing each stage with a
     non-JSON marker line the parent uses for per-stage deadlines."""
+    global _CHILD_OPTS
+    _CHILD_OPTS = opts
     for name, _cap in STAGES:
         if name in skip:
             continue
@@ -649,12 +739,96 @@ def run_stages(skip, start_epoch, budget, opts):
                    "skipped": f"stage_error: {type(e).__name__}"})
 
 
+def _build_summary(records, budget):
+    """ONE self-contained recap of the whole run — emitted as the LAST
+    JSON line so the driver's ``parsed`` (= last line) IS the round's
+    summary and no finite tail window can lose the flagship headline
+    (VERDICT r04 #1: three rounds lost it three different ways)."""
+    s = {"metric": "summary"}
+    skipped = []
+    for rec in records:
+        m = rec.get("metric", "")
+        if not m or m == "summary":
+            continue
+        if "skipped" in rec:
+            skipped.append(f"{m}:{rec['skipped']}")
+            continue
+        if "value" in rec:
+            s[m] = rec["value"]
+        if m == "lml_grad_evals_per_s_n2048":
+            if rec.get("vs_baseline") is not None:
+                s["flagship_vs_baseline_cached"] = rec["vs_baseline"]
+            if rec.get("pct_f32_roofline") is not None:
+                s["flagship_pct_f32_roofline_cached"] = rec[
+                    "pct_f32_roofline"
+                ]
+        elif m in (
+            "lml_grad_evals_per_s_n4096",
+            "lml_grad_evals_per_s_n8192",
+        ):
+            if rec.get("pct_f32_roofline") is not None:
+                s[m + "_pct_roofline_cached"] = rec["pct_f32_roofline"]
+        elif m == "roofline_tflops_f32_highest_measured":
+            for k, v in rec.items():
+                if k.endswith("_pct_live_roofline"):
+                    s[k] = v
+        elif m == "reference_lml_grad_evals_per_s_n2048_cpu":
+            if rec.get("flagship_vs_baseline_live") is not None:
+                s["flagship_vs_baseline_live"] = rec[
+                    "flagship_vs_baseline_live"
+                ]
+        elif m.startswith("statespace_exact_nlml"):
+            for k in (
+                "adjoint_grad_seconds_per_eval",
+                "adjoint_grad_n",
+                "ad_grad_seconds_per_eval",
+                "ad_grad_n",
+                "nlml_value_seconds_per_eval",
+            ):
+                if rec.get(k) is not None:
+                    s["statespace_" + k] = rec[k]
+    if skipped:
+        s["skipped"] = skipped
+    s["budget_seconds"] = budget
+    return s
+
+
 def main():
     """Parent orchestrator: stream the child's lines through, kill it
     only when the CURRENT stage blows its cap, restart skipping the
-    completed + hung stages.  Common case: one child, one init."""
+    completed + hung stages.  Common case: one child, one init.
+    ALWAYS ends with the one-line summary recap (see
+    :func:`_build_summary`)."""
     budget = float(os.environ.get("BENCH_BUDGET_S", "660"))
     start = time.time()
+    records = []
+
+    def emit(rec):
+        records.append(rec)
+        _emit(rec, fingerprint=False)
+        # refresh the running recap after every record: even a SIGKILL
+        # (which no handler can catch) leaves a summary as the most
+        # recent complete JSON line in the driver's capture
+        _emit(
+            {**_build_summary(records, budget), "partial": True},
+            fingerprint=False,
+        )
+
+    # a driver-side SIGTERM (timeout kills) must still produce the
+    # summary line: route it through SystemExit so the finally runs
+    import signal
+
+    def _sigterm(_sig, _frm):
+        raise SystemExit(1)
+
+    signal.signal(signal.SIGTERM, _sigterm)
+    try:
+        _orchestrate(budget, start, records, emit)
+    finally:
+        _emit(_build_summary(records, budget), fingerprint=False)
+
+
+def _orchestrate(budget, start, records, emit):
     # Absolute ceiling.  Overshooting the driver's own timeout is NOT
     # fatal — every line already printed is captured — so the ceiling
     # is generous: the only true failure mode is printing nothing.
@@ -662,15 +836,39 @@ def main():
     done = set()
     opts = {}
     silent_exits = 0
+    crash_exits = 0
+    # children's stderr goes to a log file, NEVER the driver's capture:
+    # ~1.2 KB of torch deprecation warnings from the reference_cpu
+    # stage flushed the r04 flagship line out of the driver's tail
+    # window.  PYTHONWARNINGS=ignore kills the bulk at the source; the
+    # redirect catches everything else (jax/absl platform chatter, the
+    # statespace stage's progress marks).
+    err_log = open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_stderr.log"),
+        "a",
+    )
+
+    def finish_all(reason):
+        for nm, _c in STAGES:
+            if nm not in done:
+                emit({"metric": nm, "skipped": reason,
+                      "budget_seconds": budget})
+                done.add(nm)
 
     while True:
         todo = [n for n, _ in STAGES if n not in done]
         if not todo:
             break
+        # ceiling + budget checked unconditionally at the top of every
+        # child launch (ADVICE r04: a child crashing pre-marker never
+        # reached the idle-tick checks — the orchestrator could respawn
+        # crashers forever, printing nothing)
+        if time.time() > hard_stop:
+            finish_all("budget")
+            break
         if done and (time.time() - start) > budget + 60:
-            for n in todo:
-                _emit({"metric": n, "skipped": "budget",
-                       "budget_seconds": budget})
+            finish_all("budget")
             break
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
                "--run-stages", "--skip", ",".join(sorted(done))]
@@ -679,8 +877,10 @@ def main():
         env = dict(os.environ)
         env["BENCH_START_EPOCH"] = repr(start)
         env["BENCH_BUDGET_S"] = str(budget)
+        env["PYTHONWARNINGS"] = "ignore"
         proc = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, text=True, bufsize=1, env=env
+            cmd, stdout=subprocess.PIPE, stderr=err_log, text=True,
+            bufsize=1, env=env,
         )
         from queue import Empty, Queue
 
@@ -718,7 +918,13 @@ def main():
                     rec = json.loads(line)
                 except (json.JSONDecodeError, ValueError):
                     continue
+                records.append(rec)
                 _harvest(rec, opts)
+                _emit(
+                    {**_build_summary(records, budget),
+                     "partial": True},
+                    fingerprint=False,
+                )
                 stage_output = True
                 # budget-skip lines for stages the child never started
                 if rec.get("skipped") == "budget":
@@ -729,14 +935,11 @@ def main():
                 proc.kill()
                 proc.wait()
                 if current is not None and not stage_output:
-                    _emit({"metric": current, "skipped": "budget",
-                           "budget_seconds": budget})
+                    emit({"metric": current, "skipped": "budget",
+                          "budget_seconds": budget})
                 if current is not None:
                     done.add(current)
-                for nm, _c in STAGES:
-                    if nm not in done:
-                        _emit({"metric": nm, "skipped": "budget",
-                               "budget_seconds": budget})
+                finish_all("budget")
                 return
             # idle tick: enforce the current stage's deadline (a stage
             # stays on the clock until the NEXT marker — it may emit
@@ -747,7 +950,7 @@ def main():
                 proc.kill()
                 proc.wait()
                 if not stage_output:
-                    _emit({
+                    emit({
                         "metric": current,
                         "skipped": "timeout",
                         "stage_seconds": round(
@@ -761,7 +964,7 @@ def main():
             proc.wait()
             if current is not None and not stage_output:
                 # child died mid-stage (crash, OOM-kill): skip-and-go
-                _emit({
+                emit({
                     "metric": current,
                     "skipped": f"stage_died_rc={proc.returncode}",
                     "stage_seconds": round(time.time() - stage_t0, 1),
@@ -779,14 +982,21 @@ def main():
                 # but never spin: after two such exits, report and go.
                 silent_exits += 1
                 if silent_exits > 2:
-                    for n in remaining:
-                        _emit({
-                            "metric": n,
-                            "skipped": "child_exited_clean_with_"
-                                       "work_left",
-                        })
+                    finish_all("child_exited_clean_with_work_left")
                     break
                 continue
+            if current is None:
+                # nonzero exit BEFORE the first stage marker (backend
+                # init failure, import error): nothing was marked done,
+                # so without this counter the loop would respawn the
+                # same crashing child forever — the silent failure the
+                # orchestrator exists to prevent
+                crash_exits += 1
+                if crash_exits > 2:
+                    finish_all(
+                        f"child_crashed_pre_stage_rc={proc.returncode}"
+                    )
+                    break
             continue
 
 

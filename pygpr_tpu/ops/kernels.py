@@ -1013,10 +1013,17 @@ class ChangePoint(Kernel):
             qs = np.linspace(0.15, 0.85, n_restarts)
         rows = []
         bad_c = []
+        # the default fit path (fit_mle, log-space) takes log of every
+        # initial parameter: a non-positive gate location would NaN /
+        # sign-flip far from here, so clamp it to a small positive
+        # value derived from the data range instead of returning a
+        # value known to break under the documented default.
+        c_floor = 1e-3 * rng_
         for q in qs:
             c = float(np.quantile(col, q))
             if c <= 0.0:
                 bad_c.append(c)
+                c = c_floor
             gate = jnp.asarray([c, a], sub.dtype)
             rows.append(jnp.concatenate([gate, sub], axis=-1))
         if bad_c:
@@ -1024,11 +1031,12 @@ class ChangePoint(Kernel):
 
             warnings.warn(
                 "ChangePoint.init_from_data: gate location(s) "
-                f"{bad_c} are <= 0 because the gate-axis data spans "
-                "non-positive values; the default log-space fit_mle "
-                "would take log of a non-positive number (NaN / "
-                "sign-flipped location).  Shift the inputs to be "
-                "positive or fit with log_space=False.",
+                f"{bad_c} were <= 0 because the gate-axis data spans "
+                "non-positive values; clamped to "
+                f"{c_floor:.3g} so the default log-space fit_mle "
+                "stays finite.  For a genuinely non-positive change "
+                "point, shift the inputs or fit with "
+                "log_space=False.",
                 stacklevel=2,
             )
         return rows[0] if n_restarts == 1 else jnp.stack(rows)

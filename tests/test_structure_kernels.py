@@ -210,3 +210,15 @@ def test_changepoint_fit_finds_regime_switch(rng):
         + (np.asarray(mean_p) - fq) ** 2 / (2 * np.asarray(var_p))
     ))
     assert nlpd_cp < nlpd_plain - 0.1, (nlpd_cp, nlpd_plain)
+
+
+def test_changepoint_init_clamps_nonpositive_gate(rng):
+    """Data spanning non-positive gate-axis values: init_from_data
+    must warn AND return a positive gate location, so the documented
+    default log-space fit_mle stays finite (ADVICE r04)."""
+    cp = ChangePoint(RBF(), RBF())
+    x = jnp.asarray(rng.uniform(-2.0, -1.0, size=(32, 1)))
+    with pytest.warns(UserWarning, match="clamped"):
+        p = np.asarray(cp.init_from_data(x))
+    assert p[0] > 0.0
+    assert np.isfinite(np.log(p[: 2])).all()
