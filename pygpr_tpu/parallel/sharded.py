@@ -369,11 +369,17 @@ def mcmc_sharded(
     (north-star "step-size adaptation coordinated across hosts").
 
     ``sampler`` selects the kernel: ``"rwm"`` (adaptive random-walk /
-    HMC, ``sample.mcmc.sample_posterior`` — returns ``MCMCResult``) or
+    HMC, ``sample.mcmc.sample_posterior`` — returns ``MCMCResult``),
     ``"nuts"`` (iterative multinomial NUTS with dual averaging,
-    ``sample.nuts.sample_posterior_nuts`` — returns ``NUTSResult``);
-    either way the dual-averaging/adaptation statistic rides the same
-    ``pmean`` hook, so every shard converges to one shared step size.
+    ``sample.nuts.sample_posterior_nuts`` — returns ``NUTSResult``),
+    or ``"ess"`` (elliptical slice sampling of the LATENT posterior,
+    ``sample.ess.sample_latent`` — returns ``ESSResult``; pass
+    ``params``, ``lik``, ``lik_params`` through the kwargs).  The
+    hyperparameter samplers ride the dual-averaging/adaptation
+    statistic through the same ``pmean`` hook so every shard converges
+    to one shared step size; ESS has no tuning parameter at all
+    (``coordinate_step_size`` is ignored), so its chains shard
+    embarrassingly.
 
     ``n_chains`` must be a multiple of the mesh's chain-axis size.
     Result leaves carry leading dim ``n_chains``.
@@ -383,7 +389,32 @@ def mcmc_sharded(
 
     n_shards = mesh.shape[CHAIN_AXIS]
     assert n_chains % n_shards == 0
-    assert sampler in ("rwm", "nuts"), sampler
+    assert sampler in ("rwm", "nuts", "ess"), sampler
+
+    if sampler == "ess":
+        from pygpr_tpu.sample.ess import sample_latent
+
+        params = mcmc_kwargs.pop("params")
+        lik = mcmc_kwargs.pop("lik")
+        lik_params = mcmc_kwargs.pop("lik_params")
+
+        def ess_local(key):
+            ks = jax.random.split(key[0], n_chains // n_shards)
+            return jax.vmap(
+                lambda kk: sample_latent(
+                    kern, params, lik, lik_params, x, y, kk,
+                    **mcmc_kwargs,
+                )
+            )(ks)
+
+        fn = shard_map(
+            ess_local,
+            mesh=mesh,
+            in_specs=(P(CHAIN_AXIS),),
+            out_specs=P(CHAIN_AXIS),
+            check_vma=False,
+        )
+        return fn(jax.random.split(key, n_shards))
 
     def local_fn(key):
         # Each shard runs n_chains // n_shards chains; the sync_fn

@@ -123,3 +123,45 @@ def test_key_deterministic_and_moves(rng):
     # rejection-free: consecutive states always differ
     diffs = np.abs(np.diff(np.asarray(r1.samples), axis=0)).max(axis=1)
     assert (diffs > 0).all()
+
+
+def test_ess_sharded_matches_single_device(rng):
+    """mcmc_sharded(sampler="ess"): chains shard over the chain mesh
+    axis and reproduce the SAME draws as the equivalent un-sharded
+    vmap (same key-splitting tree), so sharded == single-device
+    exactly, not just in distribution."""
+    from pygpr_tpu.parallel import make_mesh
+    from pygpr_tpu.parallel.sharded import mcmc_sharded
+
+    x, y, sig_n = _setup(rng, n=24)
+    kern = gp.RBF()
+    p = jnp.asarray([1.0, 1.0])
+    lik = GaussianLik()
+    lp = jnp.asarray([np.log(sig_n)])
+    n_shards = 4
+    n_chains = 8
+    mesh = make_mesh(n_expert=1, n_chain=n_shards)
+    key = jax.random.PRNGKey(7)
+
+    res = mcmc_sharded(
+        kern, x, y, key, mesh,
+        n_chains=n_chains, sampler="ess",
+        params=p, lik=lik, lik_params=lp,
+        n_samples=50, n_warmup=20,
+    )
+    assert res.samples.shape == (n_chains, 50, x.shape[0])
+
+    # un-sharded reference with the identical key tree
+    keys = jax.random.split(key, n_shards)
+    ref = []
+    for ks in keys:
+        for kk in jax.random.split(ks, n_chains // n_shards):
+            ref.append(
+                ess.sample_latent(
+                    kern, p, lik, lp, x, y, kk,
+                    n_samples=50, n_warmup=20,
+                ).samples
+            )
+    np.testing.assert_allclose(
+        np.asarray(res.samples), np.stack(ref), atol=1e-10
+    )
