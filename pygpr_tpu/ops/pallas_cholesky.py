@@ -765,16 +765,16 @@ def _chol_inv_kernel(
 #     band is written full-width), double-buffered, jc ≤ c blocks only.
 # ---------------------------------------------------------------------------
 
-CHR = 512  # rolled-kernel stream row-chunk height
+CHR = 512  # rolled-kernel minimum stream chunk (n alignment unit)
 MAX_ROLLED_N = 16384  # VMEM: panel+rowbuf+tband ≈ 3·n·B·4 ≤ ~25 MB
 
 
 def _chol_inv_kernel_rolled(
-    n: int, a_ref, l_ref, t_ref, panel, rowbuf, tband, acc, sbuf,
+    n: int, ck: int, a_ref, l_ref, t_ref, panel, rowbuf, tband, acc, sbuf,
     tbuf, mblk, dblk, sems,
 ):
     P = n // B
-    NRK = n // CHR
+    NRK = n // ck
 
     def start(src, dst, sem):
         cp = pltpu.make_async_copy(src, dst, sem)
@@ -787,7 +787,7 @@ def _chol_inv_kernel_rolled(
     def panel_body(p, _):
         lo = pl.multiple_of(p * B, B)
         hi = lo + B
-        nch = pl.cdiv(lo, CW)          # column chunks left of diagonal
+        nch = pl.cdiv(lo, ck)          # column chunks left of diagonal
 
         # ---- fetch: K panel (full height) + finished L row band ----
         cp_p = start(
@@ -807,14 +807,14 @@ def _chol_inv_kernel_rolled(
         # ---- left-looking update: panel −= L[chunk,:lo]·Lrowᵀ ----
         def stream_dma(slot, k, j):
             return start(
-                l_ref.at[pl.ds(k * CHR, CHR), pl.ds(j * CW, CW)],
+                l_ref.at[pl.ds(k * ck, ck), pl.ds(j * ck, ck)],
                 sbuf.at[slot],
                 sems.at[2 + slot],
             )
 
         @pl.when(nch > 0)
         def _():
-            kf = lo // CHR             # absolute row-chunk grid
+            kf = lo // ck             # absolute row-chunk grid
 
             def kbody(k, _):
                 stream_dma(0, k, 0)
@@ -830,16 +830,16 @@ def _chol_inv_kernel_rolled(
                     stream_dma(slot, k, j).wait()
                     acc[...] = acc[...] + jax.lax.dot_general(
                         sbuf[slot],
-                        rowbuf[:, pl.ds(j * CW, CW)],
+                        rowbuf[:, pl.ds(j * ck, ck)],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32,
                     )
 
                 jax.lax.fori_loop(0, nch, jbody, None)
-                base = pl.multiple_of(k * CHR, CHR)
-                panel[pl.ds(base, CHR), :] = (
-                    panel[pl.ds(base, CHR), :] - acc[...]
+                base = pl.multiple_of(k * ck, ck)
+                panel[pl.ds(base, ck), :] = (
+                    panel[pl.ds(base, ck), :] - acc[...]
                 )
 
             jax.lax.fori_loop(kf, NRK, kbody, None)
@@ -852,11 +852,11 @@ def _chol_inv_kernel_rolled(
         dblk[...] = _tri_inverse(D)
 
         # ---- TRSM of the sub-column via the inverse ----
-        khi = hi // CHR
+        khi = hi // ck
 
         def tbody(k, _):
-            base = pl.multiple_of(k * CHR, CHR)
-            C = panel[pl.ds(base, CHR), :]
+            base = pl.multiple_of(k * ck, ck)
+            C = panel[pl.ds(base, ck), :]
             X = jax.lax.dot_general(
                 C, dblk[...],
                 dimension_numbers=(((1,), (1,)), ((), ())),  # C·Dinvᵀ
@@ -864,9 +864,9 @@ def _chol_inv_kernel_rolled(
                 preferred_element_type=jnp.float32,
             )
             rows = base + jax.lax.broadcasted_iota(
-                jnp.int32, (CHR, B), 0
+                jnp.int32, (ck, B), 0
             )
-            panel[pl.ds(base, CHR), :] = jnp.where(rows >= hi, X, C)
+            panel[pl.ds(base, ck), :] = jnp.where(rows >= hi, X, C)
 
         jax.lax.fori_loop(khi, NRK, tbody, None)
 
@@ -881,7 +881,7 @@ def _chol_inv_kernel_rolled(
 
         def tb_dma(slot, c, jc):
             return start(
-                t_ref.at[pl.ds(c * CW, CW), pl.ds(jc * CW, CW)],
+                t_ref.at[pl.ds(c * ck, ck), pl.ds(jc * ck, ck)],
                 tbuf.at[slot],
                 sems.at[4 + slot],
             )
@@ -903,19 +903,19 @@ def _chol_inv_kernel_rolled(
                     # rows ≥ lo of t_ref are UNWRITTEN memory — the
                     # zeroed rowbuf lanes cannot kill them (0·NaN =
                     # NaN), so mask the loaded block itself
-                    trows = c * CW + jax.lax.broadcasted_iota(
-                        jnp.int32, (CW, CW), 0
+                    trows = c * ck + jax.lax.broadcasted_iota(
+                        jnp.int32, (ck, ck), 0
                     )
                     tblk = jnp.where(trows < lo, tbuf[slot], 0.0)
                     contrib = jax.lax.dot_general(
-                        rowbuf[:, pl.ds(c * CW, CW)],
+                        rowbuf[:, pl.ds(c * ck, ck)],
                         tblk,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32,
                     )
-                    tband[:, pl.ds(jc * CW, CW)] = (
-                        tband[:, pl.ds(jc * CW, CW)] + contrib
+                    tband[:, pl.ds(jc * ck, ck)] = (
+                        tband[:, pl.ds(jc * ck, ck)] + contrib
                     )
 
                 jax.lax.fori_loop(0, njc, jcbody, None)
@@ -923,8 +923,8 @@ def _chol_inv_kernel_rolled(
             jax.lax.fori_loop(0, nch, cbody, None)
 
             def pmul(jc, _):
-                blk = tband[:, pl.ds(jc * CW, CW)]
-                tband[:, pl.ds(jc * CW, CW)] = -jax.lax.dot_general(
+                blk = tband[:, pl.ds(jc * ck, ck)]
+                tband[:, pl.ds(jc * ck, ck)] = -jax.lax.dot_general(
                     dblk[...], blk,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
@@ -950,13 +950,23 @@ def _rolled_supported(n: int) -> bool:
     )
 
 
-def cholesky_inverse_pallas_rolled(K: Array, interpret: bool = False):
+def cholesky_inverse_pallas_rolled(
+    K: Array, interpret: bool = False, chunk: int = None
+):
     """Rolled-loop fused ``(L, T=L⁻¹)`` — any n that is a multiple of
     ``CHR`` (production dispatch uses it above ``MAX_FUSED_N``; tests
-    exercise it at small n in interpret mode)."""
+    exercise it at small n in interpret mode).
+
+    ``chunk`` sets both the stream row-chunk height and contraction
+    width: fatter chunks mean fewer, deeper GEMMs and fewer DMA waits
+    for the same total bytes.  Default: 1024 when n allows, else the
+    ``CHR`` minimum (512)."""
     n = K.shape[-1]
-    assert K.ndim == 2 and n % CHR == 0 and n % CW == 0 and n >= 2 * B
-    kernel = functools.partial(_chol_inv_kernel_rolled, n)
+    if chunk is None:
+        chunk = 1024 if n % 1024 == 0 else CHR
+    ck = chunk
+    assert K.ndim == 2 and n % ck == 0 and n >= 2 * B and n >= ck
+    kernel = functools.partial(_chol_inv_kernel_rolled, n, ck)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -969,14 +979,14 @@ def cholesky_inverse_pallas_rolled(K: Array, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, B), jnp.float32),        # panel
-            pltpu.VMEM((B, n), jnp.float32),        # rowbuf
-            pltpu.VMEM((B, n), jnp.float32),        # tband
-            pltpu.VMEM((CHR, B), jnp.float32),      # acc
-            pltpu.VMEM((2, CHR, CW), jnp.float32),  # sbuf
-            pltpu.VMEM((2, CW, CW), jnp.float32),   # tbuf
-            pltpu.VMEM((B, B), jnp.float32),        # mblk
-            pltpu.VMEM((B, B), jnp.float32),        # dblk
+            pltpu.VMEM((n, B), jnp.float32),      # panel
+            pltpu.VMEM((B, n), jnp.float32),      # rowbuf
+            pltpu.VMEM((B, n), jnp.float32),      # tband
+            pltpu.VMEM((ck, B), jnp.float32),     # acc
+            pltpu.VMEM((2, ck, ck), jnp.float32),  # sbuf
+            pltpu.VMEM((2, ck, ck), jnp.float32),  # tbuf
+            pltpu.VMEM((B, B), jnp.float32),      # mblk
+            pltpu.VMEM((B, B), jnp.float32),      # dblk
             pltpu.SemaphoreType.DMA((7,)),
         ],
         input_output_aliases={0: 0},
