@@ -222,3 +222,21 @@ def test_cholesky_inverse_rolled_indefinite_nan(rng):
     K = -np.eye(1024, dtype=np.float32)
     L, _ = cholesky_inverse_pallas_rolled(jnp.asarray(K), interpret=True)
     assert not np.isfinite(np.asarray(L)).all()
+
+
+def test_rolled_dispatch_boundaries():
+    """Dispatch contract: unrolled kernel ≤ MAX_FUSED_N; rolled for
+    larger 512-multiples up to MAX_ROLLED_N; anything else → the XLA
+    fallback in ops/linalg (which requires no kernel support)."""
+    from pygpr_tpu.ops.pallas_cholesky import (
+        MAX_FUSED_N,
+        MAX_ROLLED_N,
+        _rolled_supported,
+    )
+
+    assert not _rolled_supported(MAX_FUSED_N)          # unrolled regime
+    assert _rolled_supported(6144)
+    assert _rolled_supported(8192)
+    assert _rolled_supported(MAX_ROLLED_N)
+    assert not _rolled_supported(5760)                 # not 512-aligned
+    assert not _rolled_supported(MAX_ROLLED_N + 512)   # VMEM cap
