@@ -12,11 +12,14 @@
                 chip — directly comparable to the --large-n grBCM row
                 (same generative function, N, and query set).
   --statespace  exact Matérn-3/2 GP at n=1M via the state-space
-                parallel-scan path: NLML value s/eval at n=1e6,
-                value+grad s/eval at n/8 (reverse-mode through the
-                scan compiles linearly in n — noted in the line), and
-                the two-program smoothed posterior at 4096 query
-                times; one JSON line.
+                parallel-scan path: adjoint-scan exact value+grad at
+                the FULL n=1e6, plus (full mode) the value-only
+                program, the reverse-AD cross-check at n/8 and the
+                two-program smoothed posterior at 4096 query times;
+                one JSON line.
+  --grbcm-1m    BASELINE config 5, single-chip half: grBCM serving
+                throughput at N=1M (2000 experts, T=L⁻¹ resident,
+                experts streamed per query batch); one JSON line.
   --million     BASELINE config 5 correctness artifact: grBCM N=1M,
                 experts sharded over the device mesh.  Run on CPU with
                 8 virtual devices via
@@ -72,6 +75,10 @@ def _main():
         from pygpr_tpu.bench import bench_statespace_large
 
         print(json.dumps(bench_statespace_large()), flush=True)
+    elif "--grbcm-1m" in args:
+        from pygpr_tpu.bench import bench_grbcm_million_serving
+
+        print(json.dumps(bench_grbcm_million_serving()), flush=True)
     else:
         from pygpr_tpu.bench import main
 
