@@ -186,7 +186,13 @@ def _nlml_vg_fast_one(kern, params, x, y, config):
     # GEMM (2n³) was the single largest term of the whole eval
     Kinv = linalg.syrk_from_tril(T)
     Abar = 0.5 * (Kinv - w[:, None] * w[None, :])
-    (grad,) = gram_vjp(Abar)
+    # kernel-provided analytic contraction (matvec-shaped, HBM passes
+    # independent of d) when available; AD through the gram build
+    # otherwise.  An unsupported kernel returns None at TRACE time, so
+    # the probe costs nothing at run time (XLA DCEs the dead branch).
+    grad = kern.gram_adjoint(params, x, Abar, config=config)
+    if grad is None:
+        (grad,) = gram_vjp(Abar)
     return val, grad
 
 

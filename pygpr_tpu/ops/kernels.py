@@ -125,6 +125,25 @@ class Kernel:
         """Diagonal of the train-block kernel, ``[n]``."""
         return jnp.diagonal(self.matrix(params, x, config=config))
 
+    def gram_adjoint(
+        self, params: Array, x: Array, abar: Array,
+        *, config: Config = DEFAULT,
+    ) -> Optional[Array]:
+        """``⟨Abar, ∂K/∂θ⟩`` for the train gram as MATVEC-shaped
+        contractions, or ``None`` when no specialization exists (the
+        caller falls back to AD through the gram build).
+
+        This is the fast-gradient path's tail
+        (``likelihood._nlml_vg_fast_one``): the generic gram-build VJP
+        materializes per-dimension ``(xᵢⱼ−xᵢ'ⱼ)²`` n×n passes, while
+        the ARD radial family collapses every lengthscale component to
+        Σᵢⱼ mᵢⱼ(xᵢⱼ−xᵢ'ⱼ)² = (r₁+r₂)ᵀqⱼ − 2 xⱼᵀ(m xⱼ) — one
+        elementwise pass for ``m`` plus one [n,n]×[n,d] GEMM, HBM
+        passes independent of d.  ``abar`` must be the full (dense)
+        adjoint; symmetry is not required.
+        """
+        return None
+
     # -- reference-parity method API (covar.py:9-25) ----------------------
     def get_params_shape(self, x: Array):
         """Parameter-shape query (reference ``covar.py:15``):
@@ -160,6 +179,33 @@ class Kernel:
         return type(self) is type(other)
 
 
+def _ard_sqd_adjoint(abar, x, ls, w, precision):
+    """Lengthscale components of :meth:`Kernel.gram_adjoint` for any
+    radial kernel ``K = f(sqd)``, ``sqd = Σⱼ ℓⱼ²(xᵢⱼ−xᵢ'ⱼ)²``:
+
+      ∂K/∂ℓⱼ = (∂K/∂sqd)·2ℓⱼ(xᵢⱼ−xᵢ'ⱼ)²  ⇒
+      ⟨Abar, ∂K/∂ℓⱼ⟩ = 2ℓⱼ Σᵢᵢ' mᵢᵢ' (xᵢⱼ−xᵢ'ⱼ)²,  m = Abar∘(∂K/∂sqd)
+
+    expanded GEMM-style: (r₁+r₂)ᵀqⱼ − 2 xⱼᵀ(m xⱼ) with q = x², so the
+    d components share ONE elementwise pass over m and ONE [n,n]×[n,d]
+    GEMM.  The diagonal of m is zeroed first: its analytic
+    contribution is exactly zero (diff² = 0) but the three partial
+    sums would otherwise carry it separately (catastrophic for
+    kernels whose ∂K/∂sqd is clamped-singular at r = 0, e.g.
+    Matérn-½)."""
+    n = x.shape[-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    m = jnp.where(rows == cols, 0.0, abar * w)
+    r12 = jnp.sum(m, axis=-1) + jnp.sum(m, axis=-2)       # [n]
+    q = jnp.square(x)                                     # [n, d]
+    u = jnp.matmul(m, x, precision=precision)             # [n, d]
+    s = jnp.matmul(r12, q, precision=precision) - 2.0 * jnp.sum(
+        x * u, axis=-2
+    )                                                     # [d]
+    return 2.0 * ls * s
+
+
 class RBF(Kernel):
     """ARD squared-exponential, reference ``Squared_exponential``.
 
@@ -177,6 +223,18 @@ class RBF(Kernel):
         xpl = None if xp is None else xp * ls
         sqd = sq_distance(xl, xpl, precision=config.precision)
         return jnp.square(sig) * jnp.exp(-sqd)
+
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xl = x * ls
+        sqd = sq_distance(xl, None, precision=config.precision)
+        e = jnp.exp(-sqd)
+        dsig = 2.0 * sig * jnp.sum(abar * e)
+        dls = _ard_sqd_adjoint(
+            abar, x, ls, -jnp.square(sig) * e, config.precision
+        )
+        return jnp.concatenate([dsig[None], dls])
 
     def diag(self, params, x, *, config: Config = DEFAULT):
         sig = params[0]
@@ -216,6 +274,10 @@ class WhiteNoise(Kernel):
 
     def diag(self, params, x, *, config: Config = DEFAULT):
         return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
+
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        # ∂K/∂σₙ = 2σₙ·I ⇒ ⟨Abar, ·⟩ = 2σₙ·tr(Abar)
+        return (2.0 * params[0] * jnp.trace(abar))[None]
 
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         n = x.shape[-2]
@@ -279,6 +341,35 @@ class Matern(Kernel):
     def diag(self, params, x, *, config: Config = DEFAULT):
         return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
 
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xl = x * ls
+        sqd = sq_distance(xl, None, precision=config.precision)
+        r = jnp.sqrt(jnp.maximum(sqd, 1e-30))
+        s2 = jnp.square(sig)
+        if self.nu == 0.5:
+            k_own = s2 * jnp.exp(-r)
+            w = -k_own / (2.0 * r)
+        elif self.nu == 1.5:
+            c = jnp.sqrt(jnp.asarray(3.0, r.dtype))
+            e = jnp.exp(-c * r)
+            k_own = s2 * (1.0 + c * r) * e
+            # dK/dr = −σ²c²r·e  ⇒  ∂K/∂sqd = −σ²c²e/2 (regular)
+            w = -1.5 * s2 * e
+        else:
+            c = jnp.sqrt(jnp.asarray(5.0, r.dtype))
+            e = jnp.exp(-c * r)
+            k_own = s2 * (1.0 + c * r + (5.0 / 3.0) * sqd) * e
+            # dK/dr = −(5/3)σ²r(1+√5r)e ⇒ ∂K/∂sqd = −(5/6)σ²(1+√5r)e
+            w = -(5.0 / 6.0) * s2 * (1.0 + c * r) * e
+        # parity with AD's clamped-sqrt chain (zero inside the clamp;
+        # analytically irrelevant — diff² = 0 there)
+        w = jnp.where(sqd > 1e-30, w, 0.0)
+        dsig = (2.0 / sig) * jnp.sum(abar * k_own)
+        dls = _ard_sqd_adjoint(abar, x, ls, w, config.precision)
+        return jnp.concatenate([dsig[None], dls])
+
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         krn = self.matrix(params, x, config=config)
         jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
@@ -336,6 +427,19 @@ class Sum(_Compose):
             term = k.matrix(params[lo:hi], x, xp, config=config)
             out = term if out is None else out + term
         return out
+
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        # a sum's adjoint splits per child; specialized only when
+        # EVERY child is (otherwise the whole gradient falls back)
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        parts = []
+        for k, lo, hi in zip(self.kernels, offs[:-1], offs[1:]):
+            ga = k.gram_adjoint(params[lo:hi], x, abar, config=config)
+            if ga is None:
+                return None
+            parts.append(ga)
+        return jnp.concatenate(parts, axis=-1)
 
     def diag(self, params, x, *, config: Config = DEFAULT):
         dim = x.shape[-1]

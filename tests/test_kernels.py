@@ -374,3 +374,66 @@ def test_arccosine_family():
     k_mc = 2.0 * 1.1**2 * (a.T @ a) / w.shape[0]
     K = np.asarray(ArcCosine(1).matrix(jnp.asarray([1.1, *ls]), xs))
     np.testing.assert_allclose(K, k_mc, rtol=0.05, atol=0.01)
+
+
+from pygpr_tpu import Matern
+
+
+@pytest.mark.parametrize(
+    "kern",
+    [
+        RBF(),
+        Matern(0.5),
+        Matern(1.5),
+        Matern(2.5),
+        WhiteNoise(),
+        Sum((RBF(), WhiteNoise())),
+        Sum((Matern(1.5), WhiteNoise())),
+    ],
+)
+def test_gram_adjoint_matches_vjp(kern, rng):
+    """The matvec-shaped analytic gram contraction (the fast-gradient
+    tail) equals AD through the gram build for any symmetric adjoint
+    — including data WITH coincident points (the clamped-singular
+    Matérn-½ regime the zeroed-m diagonal exists for)."""
+    from pygpr_tpu.ops.kernels import train_gram
+
+    n, d = 40, 3
+    x = rng.uniform(0.0, 2.0, (n, d))
+    x[7] = x[3]  # coincident pair
+    x = jnp.asarray(x)
+    a = rng.standard_normal((n, n))
+    abar = jnp.asarray(0.5 * (a + a.T))
+    p = jnp.asarray(
+        np.abs(rng.uniform(0.5, 1.5, kern.n_params(d)))
+    )
+
+    ga = kern.gram_adjoint(p, x, abar)
+    assert ga is not None
+    _, vjp = jax.vjp(lambda q: train_gram(kern, q, x), p)
+    (ref,) = vjp(abar)
+    # Matérn-½'s AD reference carries ~1e-8 of ITS OWN noise: the
+    # gram diagonal is 0 + fp residue (≤4e-15), so AD multiplies a
+    # clamped-singular 1/(2r) ≈ 1e7 by the three-term cancellation noise
+    # of d(sqd_ii)/dℓ — the analytic contraction zeroes that diagonal
+    # exactly and is the MORE accurate of the two.
+    tol = 1e-6 if getattr(kern, "nu", None) == 0.5 or (
+        hasattr(kern, "kernels")
+        and any(getattr(k, "nu", None) == 0.5 for k in kern.kernels)
+    ) else 1e-9
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(ref), rtol=tol, atol=tol
+    )
+
+
+def test_gram_adjoint_unsupported_returns_none(rng):
+    """Kernels without a specialization fall back (None) — including
+    a Sum with one unsupported child."""
+    from pygpr_tpu.ops.kernels import Product
+
+    x = jnp.asarray(rng.uniform(0, 1, (8, 2)))
+    abar = jnp.eye(8)
+    prod = Product((RBF(), RBF()))
+    assert prod.gram_adjoint(prod.init_params(x), x, abar) is None
+    mixed = Sum((RBF(), Product((RBF(), RBF()))))
+    assert mixed.gram_adjoint(mixed.init_params(x), x, abar) is None
