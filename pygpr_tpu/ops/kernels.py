@@ -644,6 +644,31 @@ class RationalQuadratic(Kernel):
     def diag(self, params, x, *, config: Config = DEFAULT):
         return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
 
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        sig, alpha = params[0], params[1]
+        ls = params[2:]
+        xl = x * ls
+        sqd = sq_distance(xl, None, precision=config.precision)
+        a2 = jnp.clip(jnp.square(alpha), 1e-12, 1e12)
+        s = sqd / a2
+        k_own = jnp.square(sig) * jnp.exp(-a2 * jnp.log1p(s))
+        dsig = (2.0 / sig) * jnp.sum(abar * k_own)
+        # dK/da2 = K·(s/(1+s) − log1p(s)); clip passes gradient only
+        # strictly inside its bounds (AD-parity)
+        inside = jnp.logical_and(
+            jnp.square(alpha) > 1e-12, jnp.square(alpha) < 1e12
+        ).astype(sqd.dtype)
+        dalpha = (
+            2.0
+            * alpha
+            * inside
+            * jnp.sum(abar * k_own * (s / (1.0 + s) - jnp.log1p(s)))
+        )
+        dls = _ard_sqd_adjoint(
+            abar, x, ls, -k_own / (1.0 + s), config.precision
+        )
+        return jnp.concatenate([dsig[None], dalpha[None], dls])
+
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         krn = self.matrix(params, x, config=config)
         jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)

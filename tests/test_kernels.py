@@ -376,7 +376,7 @@ def test_arccosine_family():
     np.testing.assert_allclose(K, k_mc, rtol=0.05, atol=0.01)
 
 
-from pygpr_tpu import Matern
+from pygpr_tpu import Matern, RationalQuadratic
 
 
 @pytest.mark.parametrize(
@@ -389,6 +389,8 @@ from pygpr_tpu import Matern
         WhiteNoise(),
         Sum((RBF(), WhiteNoise())),
         Sum((Matern(1.5), WhiteNoise())),
+        RationalQuadratic(),
+        Sum((RationalQuadratic(), WhiteNoise())),
     ],
 )
 def test_gram_adjoint_matches_vjp(kern, rng):
