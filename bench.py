@@ -22,12 +22,14 @@ torch run before the first print):
     and live torch-reference measurements run LAST as their own
     metric lines so congestion can only cost the cross-checks, never
     the headline.
-  * A global budget (``BENCH_BUDGET_S``, default 660 s) gates every
+  * A global budget (``BENCH_BUDGET_S``, default 720 s) gates every
     stage: when it runs out, remaining stages emit explicit
-    ``"skipped": "budget"`` lines.  (660 because the process's FIRST
-    tunnel compile alone has been observed at 500+ s under
+    ``"skipped": "budget"`` lines.  (Generous because the process's
+    FIRST tunnel compile alone has been observed at 500+ s under
     congestion; overshooting the driver's timeout is harmless — the
-    lines already printed are captured — only silence loses a round.)
+    r04 capture proved ≥ ~960 s of wall is safe, every line printed
+    is kept, and the partial-summary contract means even a kill
+    leaves a recap as the last JSON line.)
 
 ``vs_baseline`` cross-check stage times the ACTUAL torch reference
 (``/root/reference`` PyGPR, f64 LAPACK ``MLE.loss_and_grad``,
@@ -799,7 +801,7 @@ def main():
     completed + hung stages.  Common case: one child, one init.
     ALWAYS ends with the one-line summary recap (see
     :func:`_build_summary`)."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", "660"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "720"))
     start = time.time()
     records = []
 
@@ -1022,7 +1024,7 @@ if __name__ == "__main__":
             start_epoch=float(
                 os.environ.get("BENCH_START_EPOCH", time.time())
             ),
-            budget=float(os.environ.get("BENCH_BUDGET_S", "660")),
+            budget=float(os.environ.get("BENCH_BUDGET_S", "720")),
             opts=stage_opts,
         )
     elif args.stage is None:
