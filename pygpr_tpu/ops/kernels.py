@@ -489,6 +489,31 @@ class Product(_Compose):
             out = term if out is None else out * term
         return out
 
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        # product rule in adjoint form: ⟨Abar, ∂(∏K)/∂θᵢ⟩ =
+        # ⟨Abar ∘ ∏_{j≠i} Kⱼ, ∂Kᵢ/∂θᵢ⟩ — each child sees the
+        # other-factors-weighted adjoint through its OWN contraction
+        dim = x.shape[-1]
+        _, offs = self._splits(dim)
+        spans = list(zip(self.kernels, offs[:-1], offs[1:]))
+        mats = [
+            k.matrix(params[lo:hi], x, config=config)
+            for k, lo, hi in spans
+        ]
+        parts = []
+        for i, (k, lo, hi) in enumerate(spans):
+            others = None
+            for j, m in enumerate(mats):
+                if j == i:
+                    continue
+                others = m if others is None else others * m
+            ab_i = abar if others is None else abar * others
+            ga = k.gram_adjoint(params[lo:hi], x, ab_i, config=config)
+            if ga is None:
+                return None
+            parts.append(ga)
+        return jnp.concatenate(parts, axis=-1)
+
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         dim = x.shape[-1]
         _, offs = self._splits(dim)

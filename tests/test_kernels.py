@@ -391,6 +391,8 @@ from pygpr_tpu import Matern, RationalQuadratic
         Sum((Matern(1.5), WhiteNoise())),
         RationalQuadratic(),
         Sum((RationalQuadratic(), WhiteNoise())),
+        Product((RBF(), Matern(1.5))),
+        Sum((Product((RBF(), RBF())), WhiteNoise())),
     ],
 )
 def test_gram_adjoint_matches_vjp(kern, rng):
@@ -430,12 +432,14 @@ def test_gram_adjoint_matches_vjp(kern, rng):
 
 def test_gram_adjoint_unsupported_returns_none(rng):
     """Kernels without a specialization fall back (None) — including
-    a Sum with one unsupported child."""
-    from pygpr_tpu.ops.kernels import Product
-
+    combinators with one unsupported child."""
     x = jnp.asarray(rng.uniform(0, 1, (8, 2)))
     abar = jnp.eye(8)
-    prod = Product((RBF(), RBF()))
-    assert prod.gram_adjoint(prod.init_params(x), x, abar) is None
-    mixed = Sum((RBF(), Product((RBF(), RBF()))))
+    per = Periodic()
+    assert per.gram_adjoint(per.init_params(x), x, abar) is None
+    mixed = Sum((RBF(), Periodic()))
     assert mixed.gram_adjoint(mixed.init_params(x), x, abar) is None
+    prodmix = Product((RBF(), Periodic()))
+    assert (
+        prodmix.gram_adjoint(prodmix.init_params(x), x, abar) is None
+    )
