@@ -744,47 +744,90 @@ def bench_statespace_large(
     # reverse-mode AD *through* the scan cannot compile at n=1e6
     # (>30 min; see the module's section comment), which is why four
     # rounds of this bench could only ever time the gradient at n/8.
-    va, ga = statespace.nlml_ss_adjoint_value_and_grad(
-        nu, p0, t_j, y_j
-    )
-    v0 = float(va)
-    ga_h = np.asarray(ga)
-    assert np.isfinite(v0) and np.isfinite(ga_h).all()
-    mark(f"adjoint value+grad programs compiled, value {v0:.1f}")
-    pa = p0
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # A failure here must not cost the round's statespace line: fall
+    # back to the r04 shape (value program only) and say so.
+    try:
         va, ga = statespace.nlml_ss_adjoint_value_and_grad(
-            nu, pa, t_j, y_j
+            nu, p0, t_j, y_j
         )
-        pa = pa + 0.0 * ga + 0.0 * va
-    pv = float(pa[0])
-    grad_eval_s = (time.perf_counter() - t0) / reps
-    assert np.isfinite(pv), "non-finite state-space adjoint grad"
-    mark(f"adjoint value+grad timed: {grad_eval_s:.2f}s/eval at n={n}")
+        v0 = float(va)
+        ga_h = np.asarray(ga)
+        assert np.isfinite(v0) and np.isfinite(ga_h).all()
+        mark(f"adjoint value+grad programs compiled, value {v0:.1f}")
+        pa = p0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            va, ga = statespace.nlml_ss_adjoint_value_and_grad(
+                nu, pa, t_j, y_j
+            )
+            pa = pa + 0.0 * ga + 0.0 * va
+        pv = float(pa[0])
+        grad_eval_s = (time.perf_counter() - t0) / reps
+        assert np.isfinite(pv), "non-finite state-space adjoint grad"
+        mark(
+            f"adjoint value+grad timed: {grad_eval_s:.2f}s/eval "
+            f"at n={n}"
+        )
 
-    rec = {
-        "metric": "statespace_exact_nlml_grad_n1e6_single_chip",
-        "value": round(1.0 / grad_eval_s, 3),
-        "unit": "evals/s",
-        "n_total": n,
-        "nu": nu,
-        "nlml_at_init": round(v0, 1),
-        "adjoint_grad_seconds_per_eval": round(grad_eval_s, 3),
-        "adjoint_grad_n": n,
-        "grad_note": (
-            "EXACT value+gradient at the FULL n=1e6 via the "
-            "adjoint-scan formulation (models/statespace.py) — "
-            "reverse-mode AD through the associative scan cannot "
-            "even compile at this n (>30 min)"
-        ),
-        "vs_baseline": None,
-        "baseline": (
-            "reference dense pipeline cannot run at n=1e6 (8 TB "
-            "gram); this is the EXACT Matern NLML via the O(n) "
-            "associative-scan state-space form"
-        ),
-    }
+        rec = {
+            "metric": "statespace_exact_nlml_grad_n1e6_single_chip",
+            "value": round(1.0 / grad_eval_s, 3),
+            "unit": "evals/s",
+            "n_total": n,
+            "nu": nu,
+            "nlml_at_init": round(v0, 1),
+            "adjoint_grad_seconds_per_eval": round(grad_eval_s, 3),
+            "adjoint_grad_n": n,
+            "grad_note": (
+                "EXACT value+gradient at the FULL n=1e6 via the "
+                "adjoint-scan formulation (models/statespace.py) — "
+                "reverse-mode AD through the associative scan cannot "
+                "even compile at this n (>30 min)"
+            ),
+            "vs_baseline": None,
+            "baseline": (
+                "reference dense pipeline cannot run at n=1e6 (8 TB "
+                "gram); this is the EXACT Matern NLML via the O(n) "
+                "associative-scan state-space form"
+            ),
+        }
+    except Exception as e:  # adjoint path failed: keep the line alive
+        mark(f"adjoint path failed ({type(e).__name__}: {e}); "
+             "falling back to the value-only timing")
+
+        def vstep(c, tt, yy):
+            p, _ = c
+            v = statespace.nlml_ss(nu, p, tt, yy)
+            return p + 0.0 * v, v
+
+        vstepj = jax.jit(vstep)
+        c = vstepj((p0, jnp.float32(0.0)), t_j, y_j)
+        v0 = float(c[1])
+        t0 = time.perf_counter()
+        c = (p0, jnp.float32(0.0))
+        for _ in range(reps):
+            c = vstepj(c, t_j, y_j)
+        float(c[0][0])
+        val_s = (time.perf_counter() - t0) / reps
+        rec = {
+            "metric": "statespace_exact_nlml_n1e6_single_chip",
+            "value": round(1.0 / val_s, 3),
+            "unit": "evals/s",
+            "n_total": n,
+            "nu": nu,
+            "nlml_value_seconds_per_eval": round(val_s, 3),
+            "nlml_at_init": round(v0, 1),
+            "grad_note": (
+                "adjoint grad path failed this run "
+                f"({type(e).__name__}); value-only fallback"
+            ),
+            "vs_baseline": None,
+            "baseline": (
+                "reference dense pipeline cannot run at n=1e6 "
+                "(8 TB gram)"
+            ),
+        }
+        return rec
 
     if not include_posterior:
         # slim mode for the driver bench (VERDICT r04 #2: the full
