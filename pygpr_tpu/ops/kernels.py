@@ -741,6 +741,43 @@ class Periodic(Kernel):
     def diag(self, params, x, *, config: Config = DEFAULT):
         return jnp.full((x.shape[-2],), jnp.square(params[0]), dtype=x.dtype)
 
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        sig = params[0]
+        ls = params[1 : 1 + dim]
+        om = params[1 + dim :]
+        u = (2.0 * jnp.pi) * (x * om)
+        c, s = jnp.cos(u), jnp.sin(u)                     # [n, d]
+        fx = jnp.concatenate([ls * c, ls * s], axis=-1)
+        g = jnp.dot(fx, fx.T, precision=config.precision)
+        expo_raw = g - jnp.sum(jnp.square(ls))
+        expo = jnp.minimum(expo_raw, 0.0)
+        k_own = jnp.square(sig) * jnp.exp(expo)
+        dsig = (2.0 / sig) * jnp.sum(abar * k_own)
+        # the min-clamp passes gradient only where the exponent is
+        # strictly negative (off-diagonal); the diagonal's analytic
+        # contribution is zero anyway
+        m = jnp.where(expo_raw < 0.0, abar * k_own, 0.0)
+        # one [n,n]·[n,4d] GEMM feeds every ℓ and ω component:
+        feats = jnp.concatenate([c, s, x * c, x * s], axis=-1)
+        pm = jnp.matmul(m, feats, precision=config.precision)
+        pc, ps, pxc, pxs = (
+            pm[:, :dim], pm[:, dim:2*dim],
+            pm[:, 2*dim:3*dim], pm[:, 3*dim:],
+        )
+        # ∂E/∂ℓⱼ = 2ℓⱼ(cos(uₐⱼ−u_bⱼ) − 1):
+        cosq = jnp.sum(c * pc + s * ps, axis=-2)          # [d]
+        dls = 2.0 * ls * (cosq - jnp.sum(m))
+        # ∂E/∂ωⱼ = −2πℓⱼ²·sin(uₐⱼ−u_bⱼ)(xₐⱼ−x_bⱼ):
+        t_sum = (
+            jnp.sum((x * s) * pc, axis=-2)                # (x∘s)ᵀm c
+            - jnp.sum((x * c) * ps, axis=-2)              # −(x∘c)ᵀm s
+            - jnp.sum(s * pxc, axis=-2)                   # −sᵀm(x∘c)
+            + jnp.sum(c * pxs, axis=-2)                   # +cᵀm(x∘s)
+        )
+        dom = -(2.0 * jnp.pi) * jnp.square(ls) * t_sum
+        return jnp.concatenate([dsig[None], dls, dom])
+
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         krn = self.matrix(params, x, config=config)
         jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)
