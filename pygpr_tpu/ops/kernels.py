@@ -811,6 +811,10 @@ class Constant(Kernel):
             (x.shape[-2],), jnp.square(params[0]), dtype=x.dtype
         )
 
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        # ∂K/∂σ = 2σ·𝟙𝟙ᵀ ⇒ ⟨Abar, ·⟩ = 2σ·ΣAbar
+        return (2.0 * params[0] * jnp.sum(abar))[None]
+
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         n = x.shape[-2]
         krn = self.matrix(params, x, config=config)
@@ -963,6 +967,19 @@ class Linear(Kernel):
         return jnp.square(sig) * jnp.sum(
             jnp.square(x * params[1:]), axis=-1
         )
+
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        sig = params[0]
+        ls = params[1:]
+        xl = x * ls
+        g = jnp.dot(xl, xl.T, precision=config.precision)
+        dsig = 2.0 * sig * jnp.sum(abar * g)
+        # ⟨Abar, ∂K/∂ℓⱼ⟩ = 2ℓⱼσ² Σₐᵦ Abarₐᵦ xₐⱼx_bⱼ = 2ℓⱼσ²·xⱼᵀAbar xⱼ
+        u = jnp.matmul(abar, x, precision=config.precision)
+        dls = (
+            2.0 * ls * jnp.square(sig) * jnp.sum(x * u, axis=-2)
+        )
+        return jnp.concatenate([dsig[None], dls])
 
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         sig = params[0]

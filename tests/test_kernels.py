@@ -376,7 +376,7 @@ def test_arccosine_family():
     np.testing.assert_allclose(K, k_mc, rtol=0.05, atol=0.01)
 
 
-from pygpr_tpu import Matern, RationalQuadratic
+from pygpr_tpu import Constant, Matern, RationalQuadratic
 
 
 @pytest.mark.parametrize(
@@ -395,6 +395,9 @@ from pygpr_tpu import Matern, RationalQuadratic
         Sum((Product((RBF(), RBF())), WhiteNoise())),
         Periodic(),
         Product((RBF(), Periodic())),
+        Linear(),
+        Sum((RBF(), Constant(), WhiteNoise())),
+        Product((Linear(), Periodic())),
     ],
 )
 def test_gram_adjoint_matches_vjp(kern, rng):
@@ -435,13 +438,15 @@ def test_gram_adjoint_matches_vjp(kern, rng):
 def test_gram_adjoint_unsupported_returns_none(rng):
     """Kernels without a specialization fall back (None) — including
     combinators with one unsupported child."""
+    from pygpr_tpu.ops.kernels import SpectralMixture
+
     x = jnp.asarray(rng.uniform(0, 1, (8, 2)))
     abar = jnp.eye(8)
-    lin = Linear()
-    assert lin.gram_adjoint(lin.init_params(x), x, abar) is None
-    mixed = Sum((RBF(), Linear()))
+    sm = SpectralMixture(2)
+    assert sm.gram_adjoint(sm.init_params(x), x, abar) is None
+    mixed = Sum((RBF(), SpectralMixture(2)))
     assert mixed.gram_adjoint(mixed.init_params(x), x, abar) is None
-    prodmix = Product((RBF(), Linear()))
+    prodmix = Product((RBF(), SpectralMixture(2)))
     assert (
         prodmix.gram_adjoint(prodmix.init_params(x), x, abar) is None
     )
