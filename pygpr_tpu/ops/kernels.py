@@ -900,6 +900,40 @@ class SpectralMixture(Kernel):
             (x.shape[-2],), jnp.sum(jnp.square(w)), dtype=x.dtype
         )
 
+    def gram_adjoint(self, params, x, abar, *, config: Config = DEFAULT):
+        dim = x.shape[-1]
+        w, mu, s = self._split(params, dim)
+        dws, dmus, dss = [], [], []
+        for k in range(self.q):
+            sqd = sq_distance(x * s[k], None, precision=config.precision)
+            e = jnp.exp(-sqd)
+            a = (2.0 * jnp.pi) * jnp.dot(
+                x, mu[k], precision=config.precision
+            )
+            ca, sa = jnp.cos(a), jnp.sin(a)
+            cosd = ca[:, None] * ca[None, :] + sa[:, None] * sa[None, :]
+            sind = sa[:, None] * ca[None, :] - ca[:, None] * sa[None, :]
+            w2 = jnp.square(w[k])
+            dws.append(2.0 * w[k] * jnp.sum(abar * e * cosd))
+            # ∂C/∂μ_kj = −w²E sin(φ)·2π(xₐ−x_b)ⱼ: row/col-sum matvecs
+            mt = abar * (w2 * e * sind) * (2.0 * jnp.pi)
+            r1 = jnp.sum(mt, axis=-1)
+            r2 = jnp.sum(mt, axis=-2)
+            dmus.append(
+                -jnp.matmul(r1 - r2, x, precision=config.precision)
+            )
+            # ∂C/∂sqd = −w²E cosφ → shared ARD contraction
+            dss.append(
+                _ard_sqd_adjoint(
+                    abar, x, s[k], -w2 * e * cosd, config.precision
+                )
+            )
+        return jnp.concatenate(
+            [jnp.stack(dws)]
+            + [jnp.concatenate(dmus)]
+            + [jnp.concatenate(dss)]
+        )
+
     def matrix_and_grad(self, params, x, *, config: Config = DEFAULT):
         krn = self.matrix(params, x, config=config)
         jac = jax.jacfwd(lambda p: self.matrix(p, x, config=config))(params)

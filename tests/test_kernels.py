@@ -377,6 +377,7 @@ def test_arccosine_family():
 
 
 from pygpr_tpu import Constant, Matern, RationalQuadratic
+from pygpr_tpu.ops.kernels import SpectralMixture
 
 
 @pytest.mark.parametrize(
@@ -398,6 +399,8 @@ from pygpr_tpu import Constant, Matern, RationalQuadratic
         Linear(),
         Sum((RBF(), Constant(), WhiteNoise())),
         Product((Linear(), Periodic())),
+        SpectralMixture(2),
+        Sum((SpectralMixture(3), WhiteNoise())),
     ],
 )
 def test_gram_adjoint_matches_vjp(kern, rng):
@@ -438,15 +441,15 @@ def test_gram_adjoint_matches_vjp(kern, rng):
 def test_gram_adjoint_unsupported_returns_none(rng):
     """Kernels without a specialization fall back (None) — including
     combinators with one unsupported child."""
-    from pygpr_tpu.ops.kernels import SpectralMixture
+    from pygpr_tpu.ops.kernels import ChangePoint
 
     x = jnp.asarray(rng.uniform(0, 1, (8, 2)))
     abar = jnp.eye(8)
-    sm = SpectralMixture(2)
-    assert sm.gram_adjoint(sm.init_params(x), x, abar) is None
-    mixed = Sum((RBF(), SpectralMixture(2)))
+    cp = ChangePoint(RBF(), RBF())
+    assert cp.gram_adjoint(cp.init_params(x), x, abar) is None
+    mixed = Sum((RBF(), ChangePoint(RBF(), RBF())))
     assert mixed.gram_adjoint(mixed.init_params(x), x, abar) is None
-    prodmix = Product((RBF(), SpectralMixture(2)))
+    prodmix = Product((RBF(), ChangePoint(RBF(), RBF())))
     assert (
         prodmix.gram_adjoint(prodmix.init_params(x), x, abar) is None
     )
