@@ -784,32 +784,54 @@ def _chol_inv_kernel_rolled(
     rowid_nb = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
     colid_bn = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
 
+    # panel/rowbuf are PING-PONGED [2, ...] buffers: panel p+1's K
+    # column prefetches during panel p's compute (the source column is
+    # untouched until p+1's own write-back), and rowbuf p+1 prefetches
+    # the moment p's L write-back lands — the two ~n·B DMAs that
+    # otherwise sit serially at the top of every panel.
+    def panel_dma(p):
+        return start(
+            l_ref.at[:, pl.ds(p * B, B)],
+            panel.at[p % 2],
+            sems.at[p % 2],
+        )
+
+    def rowbuf_dma(p):
+        return start(
+            l_ref.at[pl.ds(p * B, B), :],
+            rowbuf.at[p % 2],
+            sems.at[2 + p % 2],
+        )
+
+    panel_dma(0)
+
     def panel_body(p, _):
+        sp = p % 2
         lo = pl.multiple_of(p * B, B)
         hi = lo + B
         nch = pl.cdiv(lo, ck)          # column chunks left of diagonal
 
-        # ---- fetch: K panel (full height) + finished L row band ----
-        cp_p = start(
-            l_ref.at[:, pl.ds(lo, B)], panel, sems.at[0]
-        )
+        # prefetch the NEXT panel's K column before anything blocks
+        @pl.when(p + 1 < P)
+        def _():
+            panel_dma(p + 1)
 
         @pl.when(p > 0)
         def _():
-            start(
-                l_ref.at[pl.ds(lo, B), :], rowbuf, sems.at[1]
-            ).wait()
+            rowbuf_dma(p).wait()       # started at the end of p−1
             # one mask kills the junk lanes of BOTH streamed stages
-            rowbuf[...] = jnp.where(colid_bn < lo, rowbuf[...], 0.0)
+            rowbuf[sp] = jnp.where(
+                colid_bn < lo, rowbuf[sp], 0.0
+            )
 
-        cp_p.wait()
+        panel_dma(p).wait()
 
         # ---- left-looking update: panel −= L[chunk,:lo]·Lrowᵀ ----
         def stream_dma(slot, k, j):
             return start(
                 l_ref.at[pl.ds(k * ck, ck), pl.ds(j * ck, ck)],
                 sbuf.at[slot],
-                sems.at[2 + slot],
+                sems.at[6 + slot],
             )
 
         @pl.when(nch > 0)
@@ -830,7 +852,7 @@ def _chol_inv_kernel_rolled(
                     stream_dma(slot, k, j).wait()
                     acc[...] = acc[...] + jax.lax.dot_general(
                         sbuf[slot],
-                        rowbuf[:, pl.ds(j * ck, ck)],
+                        rowbuf[sp, :, pl.ds(j * ck, ck)],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32,
@@ -838,17 +860,17 @@ def _chol_inv_kernel_rolled(
 
                 jax.lax.fori_loop(0, nch, jbody, None)
                 base = pl.multiple_of(k * ck, ck)
-                panel[pl.ds(base, ck), :] = (
-                    panel[pl.ds(base, ck), :] - acc[...]
+                panel[sp, pl.ds(base, ck), :] = (
+                    panel[sp, pl.ds(base, ck), :] - acc[...]
                 )
 
             jax.lax.fori_loop(kf, NRK, kbody, None)
 
         # ---- diagonal block: micro-Cholesky + triangular inverse ----
-        mblk[...] = panel[pl.ds(lo, B), :]
+        mblk[...] = panel[sp, pl.ds(lo, B), :]
         _micro_cholesky_scratch(mblk)
         D = mblk[...].T
-        panel[pl.ds(lo, B), :] = D
+        panel[sp, pl.ds(lo, B), :] = D
         dblk[...] = _tri_inverse(D)
 
         # ---- TRSM of the sub-column via the inverse ----
@@ -856,7 +878,7 @@ def _chol_inv_kernel_rolled(
 
         def tbody(k, _):
             base = pl.multiple_of(k * ck, ck)
-            C = panel[pl.ds(base, ck), :]
+            C = panel[sp, pl.ds(base, ck), :]
             X = jax.lax.dot_general(
                 C, dblk[...],
                 dimension_numbers=(((1,), (1,)), ((), ())),  # C·Dinvᵀ
@@ -866,14 +888,14 @@ def _chol_inv_kernel_rolled(
             rows = base + jax.lax.broadcasted_iota(
                 jnp.int32, (ck, B), 0
             )
-            panel[pl.ds(base, ck), :] = jnp.where(rows >= hi, X, C)
+            panel[sp, pl.ds(base, ck), :] = jnp.where(rows >= hi, X, C)
 
         jax.lax.fori_loop(khi, NRK, tbody, None)
 
         # ---- write L panel back (junk rows above diagonal → 0) ----
-        panel[...] = jnp.where(rowid_nb >= lo, panel[...], 0.0)
+        panel[sp] = jnp.where(rowid_nb >= lo, panel[sp], 0.0)
         cp_lout = start(
-            panel, l_ref.at[:, pl.ds(lo, B)], sems.at[0]
+            panel.at[sp], l_ref.at[:, pl.ds(lo, B)], sems.at[4]
         )
 
         # ---- T row band: Tp· = −Dinv·(Lrow[:, :lo] @ T[:lo, :lo]) --
@@ -883,7 +905,7 @@ def _chol_inv_kernel_rolled(
             return start(
                 t_ref.at[pl.ds(c * ck, ck), pl.ds(jc * ck, ck)],
                 tbuf.at[slot],
-                sems.at[4 + slot],
+                sems.at[8 + slot],
             )
 
         @pl.when(nch > 0)
@@ -908,7 +930,7 @@ def _chol_inv_kernel_rolled(
                     )
                     tblk = jnp.where(trows < lo, tbuf[slot], 0.0)
                     contrib = jax.lax.dot_general(
-                        rowbuf[:, pl.ds(c * ck, ck)],
+                        rowbuf[sp, :, pl.ds(c * ck, ck)],
                         tblk,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
@@ -934,10 +956,17 @@ def _chol_inv_kernel_rolled(
             jax.lax.fori_loop(0, nch, pmul, None)
 
         tband[:, pl.ds(lo, B)] = dblk[...]
-        start(
-            tband, t_ref.at[pl.ds(lo, B), :], sems.at[6]
-        ).wait()
+        cp_tout = start(
+            tband, t_ref.at[pl.ds(lo, B), :], sems.at[5]
+        )
         cp_lout.wait()
+        # L column p is now globally visible: prefetch p+1's row band
+        # so it overlaps the T-band write and loop turnaround
+        @pl.when(p + 1 < P)
+        def _():
+            rowbuf_dma(p + 1)
+
+        cp_tout.wait()
 
     jax.lax.fori_loop(0, P, panel_body, None)
 
@@ -979,15 +1008,15 @@ def cholesky_inverse_pallas_rolled(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, B), jnp.float32),      # panel
-            pltpu.VMEM((B, n), jnp.float32),      # rowbuf
+            pltpu.VMEM((2, n, B), jnp.float32),   # panel (ping-pong)
+            pltpu.VMEM((2, B, n), jnp.float32),   # rowbuf (ping-pong)
             pltpu.VMEM((B, n), jnp.float32),      # tband
             pltpu.VMEM((ck, B), jnp.float32),     # acc
             pltpu.VMEM((2, ck, ck), jnp.float32),  # sbuf
             pltpu.VMEM((2, ck, ck), jnp.float32),  # tbuf
             pltpu.VMEM((B, B), jnp.float32),      # mblk
             pltpu.VMEM((B, B), jnp.float32),      # dblk
-            pltpu.SemaphoreType.DMA((7,)),
+            pltpu.SemaphoreType.DMA((10,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
