@@ -657,6 +657,7 @@ STAGE_FNS = {
     "flagship2048": stage_flagship2048,
     "flagship4096": lambda o: stage_flagship_n(o, 4096, 40),
     "flagship8192": lambda o: stage_flagship_n(o, 8192, 12),
+    "flagship16384": lambda o: stage_flagship_n(o, 16384, 4),
     "predict": stage_predict,
     "ski": stage_ski,
     "kron": stage_kron,
@@ -692,6 +693,10 @@ STAGES = [
     ("grbcm1m", 420),
     ("predict", 240),
     ("ski", 270),
+    # stretch stage: n=16384 through the rolled fused kernel — a size
+    # the dense f64 reference cannot even hold (2 GB gram); only runs
+    # when everything above fit the budget
+    ("flagship16384", 420),
 ]
 
 _CAPS = dict(STAGES)
