@@ -742,8 +742,26 @@ def run_stages(skip, start_epoch, budget, opts):
         try:
             STAGE_FNS[name](opts)
         except Exception as e:  # a failed stage must not end the run
+            msg = str(e).replace("\n", " ")[:200]
             _emit({"metric": name,
-                   "skipped": f"stage_error: {type(e).__name__}"})
+                   "skipped": f"stage_error: {type(e).__name__}: {msg}"})
+            # A dead BACKEND (TPU worker crash / severed tunnel
+            # channel) poisons every later TPU stage in this process —
+            # observed live in r05: flagship8192 raised once and the
+            # five stages after it all died instantly with the same
+            # JaxRuntimeError.  Exit nonzero so the parent respawns a
+            # fresh child (fresh tunnel init, ~2 min recovery) for the
+            # remaining stages instead of dragging a corpse through
+            # them.
+            low = (type(e).__name__ + " " + msg).lower()
+            if any(s in low for s in (
+                "worker process crashed", "connection", "socket",
+                "channel", "unavailable", "deadline", "internal:",
+            )):
+                # no extra marker: the parent sees eof with the skip
+                # line already printed (stage_output=True), marks this
+                # stage done, and relaunches for the rest
+                sys.exit(3)
 
 
 def _build_summary(records, budget):

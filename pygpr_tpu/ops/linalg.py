@@ -338,12 +338,16 @@ def chol_and_tri_inverse(K: Array, config: Config = DEFAULT):
         if pk.on_tpu():
             from pygpr_tpu.ops.pallas_cholesky import (
                 MAX_FUSED_N,
+                _rolled_on_hw,
                 _rolled_supported,
                 cholesky_inverse_pallas,
             )
 
-            if n > MAX_FUSED_N and not _rolled_supported(n):
-                # neither the unrolled nor the rolled fused kernel
+            if n > MAX_FUSED_N and not (
+                _rolled_supported(n) and _rolled_on_hw()
+            ):
+                # neither the unrolled nor the (hardware-gated, see
+                # pallas_cholesky._rolled_on_hw) rolled fused kernel
                 # covers this n → XLA path
                 L = safe_cholesky(K, config).chol
                 return L, tri_inverse_doubling(L)

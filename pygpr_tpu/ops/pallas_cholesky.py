@@ -789,19 +789,35 @@ def _chol_inv_kernel_rolled(
     # untouched until p+1's own write-back), and rowbuf p+1 prefetches
     # the moment p's L write-back lands — the two ~n·B DMAs that
     # otherwise sit serially at the top of every panel.
-    def panel_dma(p):
-        return start(
+    #
+    # Start and wait are SEPARATE helpers on purpose.  The first cut
+    # waited cross-iteration copies via `dma(p).wait()` on a helper
+    # that also STARTED — each wait launched a second, redundant copy
+    # of data that hadn't changed, so interpret mode stayed correct
+    # while on hardware every panel leaked one armed-but-unawaited
+    # semaphore increment per helper and the device faulted
+    # ("INTERNAL: TPU backend error") on the first real run.  A wait
+    # must be a bare make_async_copy(...).wait() descriptor, exactly
+    # like the unrolled kernel's kept-object `cp.wait()`s.
+    def panel_cp(p):
+        return pltpu.make_async_copy(
             l_ref.at[:, pl.ds(p * B, B)],
             panel.at[p % 2],
             sems.at[p % 2],
         )
 
-    def rowbuf_dma(p):
-        return start(
+    def rowbuf_cp(p):
+        return pltpu.make_async_copy(
             l_ref.at[pl.ds(p * B, B), :],
             rowbuf.at[p % 2],
             sems.at[2 + p % 2],
         )
+
+    def panel_dma(p):
+        panel_cp(p).start()
+
+    def rowbuf_dma(p):
+        rowbuf_cp(p).start()
 
     panel_dma(0)
 
@@ -818,21 +834,24 @@ def _chol_inv_kernel_rolled(
 
         @pl.when(p > 0)
         def _():
-            rowbuf_dma(p).wait()       # started at the end of p−1
+            rowbuf_cp(p).wait()        # started at the end of p−1
             # one mask kills the junk lanes of BOTH streamed stages
             rowbuf[sp] = jnp.where(
                 colid_bn < lo, rowbuf[sp], 0.0
             )
 
-        panel_dma(p).wait()
+        panel_cp(p).wait()
 
         # ---- left-looking update: panel −= L[chunk,:lo]·Lrowᵀ ----
-        def stream_dma(slot, k, j):
-            return start(
+        def stream_cp(slot, k, j):
+            return pltpu.make_async_copy(
                 l_ref.at[pl.ds(k * ck, ck), pl.ds(j * ck, ck)],
                 sbuf.at[slot],
                 sems.at[6 + slot],
             )
+
+        def stream_dma(slot, k, j):
+            stream_cp(slot, k, j).start()
 
         @pl.when(nch > 0)
         def _():
@@ -849,7 +868,7 @@ def _chol_inv_kernel_rolled(
                     def _():
                         stream_dma((j + 1) % 2, k, j + 1)
 
-                    stream_dma(slot, k, j).wait()
+                    stream_cp(slot, k, j).wait()
                     acc[...] = acc[...] + jax.lax.dot_general(
                         sbuf[slot],
                         rowbuf[sp, :, pl.ds(j * ck, ck)],
@@ -901,12 +920,15 @@ def _chol_inv_kernel_rolled(
         # ---- T row band: Tp· = −Dinv·(Lrow[:, :lo] @ T[:lo, :lo]) --
         tband[...] = jnp.zeros_like(tband)
 
-        def tb_dma(slot, c, jc):
-            return start(
+        def tb_cp(slot, c, jc):
+            return pltpu.make_async_copy(
                 t_ref.at[pl.ds(c * ck, ck), pl.ds(jc * ck, ck)],
                 tbuf.at[slot],
                 sems.at[8 + slot],
             )
+
+        def tb_dma(slot, c, jc):
+            tb_cp(slot, c, jc).start()
 
         @pl.when(nch > 0)
         def _():
@@ -921,7 +943,7 @@ def _chol_inv_kernel_rolled(
                     def _():
                         tb_dma((jc + 1) % 2, c, jc + 1)
 
-                    tb_dma(slot, c, jc).wait()
+                    tb_cp(slot, c, jc).wait()
                     # rows ≥ lo of t_ref are UNWRITTEN memory — the
                     # zeroed rowbuf lanes cannot kill them (0·NaN =
                     # NaN), so mask the loaded block itself
@@ -972,11 +994,30 @@ def _chol_inv_kernel_rolled(
 
 
 def _rolled_supported(n: int) -> bool:
+    """Shape contract of the rolled kernel (dispatch-boundary test)."""
     return (
         MAX_FUSED_N < n <= MAX_ROLLED_N
         and n % CHR == 0
         and n % CW == 0
     )
+
+
+# First hardware contact (r05, real v5e over the tunnel): the rolled
+# kernel passed interpret-mode parity but faulted the DEVICE
+# ("INTERNAL: TPU backend error") at every n — the cross-iteration
+# DMA waits went through a helper that also STARTED, so each wait
+# launched a redundant copy and leaked an armed semaphore (see the
+# start/wait comment in the kernel body).  A crashed worker takes the
+# whole backend down for ~2 min and killed five later bench stages
+# before bench.py learned to respawn.  Fixed (wait-only descriptors)
+# and re-verified on the chip at n ∈ {1024, 6144, 8192}, both chunk
+# settings: errors at f32/f64-mix round-off (≤2.4e-7), clean
+# triangles.  PYGPR_ROLLED_HW=0 is the kill-switch if a future
+# runtime regresses.
+def _rolled_on_hw() -> bool:
+    import os
+
+    return os.environ.get("PYGPR_ROLLED_HW", "1") == "1"
 
 
 def cholesky_inverse_pallas_rolled(
@@ -1041,7 +1082,7 @@ def cholesky_inverse_pallas(K: Array, interpret: bool = False):
     n = K.shape[-1]
     assert K.ndim == 2 and n % B == 0 and n >= 2 * B
     if n > MAX_FUSED_N:
-        assert _rolled_supported(n), n
+        assert _rolled_supported(n) and (interpret or _rolled_on_hw()), n
         return cholesky_inverse_pallas_rolled(K, interpret=interpret)
     # VMEM working set: 5 panels of n·B f32 (panel + 2-slot colbuf +
     # rowbuf + tband) ≈ 2.5·n KB — callers cap n (ops.linalg dispatch)
